@@ -1,0 +1,139 @@
+"""Top-level differentiable rasterizer: preprocess → bin → composite.
+
+Replaces the reference `Rasterizer::forward` 12-step pipeline
+(`rasterizer_impl.cu:213-529`) and its autograd wrapper
+(`gaussian_renderer/r3dg_rasterization.py:76-341`) with a single jittable,
+autodiff-able JAX function.  There is no host synchronization anywhere
+(the reference syncs on `num_rendered`, `rasterizer_impl.cu:347`) — all
+capacities are static.
+
+Gradients flow to means/scales/rotations/opacities/SH/features through
+the projection math and the compositing scan by ordinary autodiff; the
+binning indices are non-differentiable (as in the reference).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import binning, composite as comp, projection
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static rasterizer configuration (hashable → usable as a jit static)."""
+    width: int
+    height: int
+    max_tiles_per_gaussian: int = 64   # per-splat instance budget
+    max_per_tile: int = 1024           # K: depth layers per tile
+    chunk: int = 32                    # compositing chunk (matmul K dim)
+    znear: float = 0.2
+    scale_modifier: float = 1.0
+
+    @property
+    def grid(self) -> tuple[int, int]:
+        return projection.grid_size(self.width, self.height)
+
+
+class RasterizeOutput(NamedTuple):
+    color: jnp.ndarray        # [H, W, 3] (background composited)
+    opacity: jnp.ndarray      # [H, W]
+    depth: jnp.ndarray        # [H, W] (alpha-weighted, not normalized)
+    feature: jnp.ndarray      # [H, W, S] auxiliary blended channels
+    final_t: jnp.ndarray      # [H, W]
+    n_contrib: jnp.ndarray    # [H, W] int32
+    radii: jnp.ndarray        # [P] int32 (0 = culled) — densification stats
+    visible: jnp.ndarray      # [P] bool
+    stats: dict[str, jnp.ndarray]  # binning overflow counters
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    opacities: jnp.ndarray,
+    alive: jnp.ndarray,
+    w2c: jnp.ndarray,
+    full_proj: jnp.ndarray,
+    campos: jnp.ndarray,
+    focal: jnp.ndarray,
+    tan_fov: jnp.ndarray,
+    bg_color: jnp.ndarray,
+    config: RasterizeConfig,
+    sh_coeffs: jnp.ndarray | None = None,
+    colors_precomp: jnp.ndarray | None = None,
+    cov3d_precomp: jnp.ndarray | None = None,
+    extra_features: jnp.ndarray | None = None,
+    active_sh_degree: int = 3,
+) -> RasterizeOutput:
+    """Render splats to an image plus auxiliary channels.
+
+    Args:
+      means3d: [P, 3]; scales [P, 3] (positive); rotations [P, 4] unit quats;
+        opacities [P] in (0,1); alive [P] bool.
+      w2c, full_proj: [4, 4] camera matrices (math convention, y = M x).
+      campos: [3]; focal: [2] (fx, fy); tan_fov: [2] (tanx, tany).
+      bg_color: [3].
+      sh_coeffs: [P, Ksh, 3] or None; colors_precomp: [P, 3] or None.
+      extra_features: [P, S] additional channels to alpha-blend (normals,
+        BRDF outputs, ...), or None.
+      active_sh_degree: static current SH degree.
+
+    Returns:
+      RasterizeOutput (all image tensors cropped to [H, W]).
+    """
+    cfg = config
+    proj = projection.preprocess(
+        means3d, scales, rotations, opacities, alive,
+        w2c, full_proj, campos,
+        cfg.width, cfg.height,
+        focal[0], focal[1], tan_fov[0], tan_fov[1],
+        sh_coeffs=sh_coeffs,
+        colors_precomp=colors_precomp,
+        cov3d_precomp=cov3d_precomp,
+        active_sh_degree=active_sh_degree,
+        scale_modifier=cfg.scale_modifier,
+        znear=cfg.znear,
+    )
+
+    bins = binning.bin_splats(
+        proj, cfg.grid, cfg.max_tiles_per_gaussian, cfg.max_per_tile)
+    # Indices are integer routing decisions, never differentiated.
+    bins = jax.tree.map(jax.lax.stop_gradient, bins)
+
+    S = 0 if extra_features is None else extra_features.shape[-1]
+    parts = [proj.rgb, proj.depth[:, None],
+             jnp.ones_like(proj.depth)[:, None]]
+    if extra_features is not None:
+        parts.append(extra_features)
+    feats = jnp.concatenate(parts, axis=-1)
+
+    out = comp.composite(
+        bins, proj.xy, proj.conic, proj.opacity, feats,
+        cfg.grid, chunk=cfg.chunk)
+
+    img = out.image[: cfg.height, : cfg.width]
+    final_t = out.final_t[: cfg.height, : cfg.width]
+    color = img[..., 0:3] + final_t[..., None] * bg_color
+    depth = img[..., 3]
+    opacity = img[..., 4]
+    feature = img[..., 5: 5 + S]
+
+    return RasterizeOutput(
+        color=color,
+        opacity=opacity,
+        depth=depth,
+        feature=feature,
+        final_t=final_t,
+        n_contrib=out.n_contrib[: cfg.height, : cfg.width],
+        radii=proj.radius,
+        visible=proj.valid,
+        stats={
+            "num_instances": bins.num_instances,
+            "dropped_rect": bins.dropped_rect,
+            "dropped_tile": bins.dropped_tile,
+        },
+    )

@@ -1,0 +1,200 @@
+"""Geometry transforms: quaternions, covariances, camera matrices.
+
+Conventions follow the reference math (`utils/graphics_utils.py`,
+`cuda_rasterizer/forward.cu:124-158`) but matrices here are stored in the
+natural row-major math convention — `y = M @ x` — with no transposed-storage
+quirks.  Everything is pure jnp and differentiable.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (w, x, y, z) → rotation matrix.  [..., 4] → [..., 3, 3].
+
+    Matches `forward.cu:137-147` (reference stores quats as (r, x, y, z)).
+    """
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    row0 = jnp.stack(
+        [1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], -1
+    )
+    row1 = jnp.stack(
+        [2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], -1
+    )
+    row2 = jnp.stack(
+        [2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], -1
+    )
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+
+
+def build_cov3d(scale: jnp.ndarray, quat: jnp.ndarray,
+                scale_modifier: float = 1.0) -> jnp.ndarray:
+    """World-space 3D covariance Σ = R S² Rᵀ.  Returns [..., 3, 3].
+
+    Quats are assumed pre-normalized (activation does it), matching
+    `forward.cu:124-158`.
+    """
+    R = quat_to_rotmat(quat)
+    s2 = (scale * scale_modifier) ** 2
+    # HIGHEST: keep fp32 on the MXU — covariance parity with the reference
+    # (and symmetry) degrades visibly at default/bf16 precision.
+    return jnp.einsum("...ij,...j,...kj->...ik", R, s2, R,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def cov3d_to_sym6(cov: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] → packed upper triangle [..., 6] (xx, xy, xz, yy, yz, zz)."""
+    return jnp.stack(
+        [cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+         cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]], -1)
+
+
+def sym6_to_cov3d(sym: jnp.ndarray) -> jnp.ndarray:
+    xx, xy, xz, yy, yz, zz = [sym[..., i] for i in range(6)]
+    return jnp.stack(
+        [jnp.stack([xx, xy, xz], -1),
+         jnp.stack([xy, yy, yz], -1),
+         jnp.stack([xz, yz, zz], -1)], -2)
+
+
+def ewa_project_cov(
+    mean3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    w2c: jnp.ndarray,
+    focal_x: float,
+    focal_y: float,
+    tan_fovx: float,
+    tan_fovy: float,
+    low_pass: float = 0.3,
+) -> jnp.ndarray:
+    """EWA 2D covariance projection (Zwicker 2002 eq. 29/31).
+
+    Matches `forward.cu:79-121` including the ±1.3·tan(fov) frustum clamp
+    and the +0.3 px low-pass filter.
+
+    Args:
+      mean3d: [..., 3] world positions.
+      cov3d: [..., 3, 3] world covariance.
+      w2c: [4, 4] world-to-camera matrix (row-major math convention).
+      focal_x/focal_y: focal lengths in pixels.
+      tan_fovx/tan_fovy: tangents of the half field-of-view.
+
+    Returns:
+      [..., 3]: packed 2D covariance (a, b, c) with cov = [[a, b], [b, c]].
+    """
+    R = w2c[:3, :3]
+    t = mean3d @ R.T + w2c[:3, 3]
+    tz = t[..., 2]
+    txtz = jnp.clip(t[..., 0] / tz, -1.3 * tan_fovx, 1.3 * tan_fovx) * tz
+    tytz = jnp.clip(t[..., 1] / tz, -1.3 * tan_fovy, 1.3 * tan_fovy) * tz
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(tz)
+    # J: 2x3 Jacobian of the perspective projection at the clamped point.
+    j00 = focal_x * inv_z
+    j02 = -focal_x * txtz * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * tytz * inv_z2
+    J = jnp.stack(
+        [jnp.stack([j00, zeros, j02], -1),
+         jnp.stack([zeros, j11, j12], -1)], -2)  # [..., 2, 3]
+    hi = jax.lax.Precision.HIGHEST
+    U = jnp.einsum("...ij,jk->...ik", J, R, precision=hi)  # [..., 2, 3]
+    cov2d = jnp.einsum("...ij,...jk,...lk->...il", U, cov3d, U,
+                       precision=hi)  # [..., 2, 2]
+    a = cov2d[..., 0, 0] + low_pass
+    b = cov2d[..., 0, 1]
+    c = cov2d[..., 1, 1] + low_pass
+    return jnp.stack([a, b, c], -1)
+
+
+# ---------------------------------------------------------------------------
+# Camera matrices (numpy — built once per camera on the host).
+# ---------------------------------------------------------------------------
+
+def world_to_view(R: np.ndarray, t: np.ndarray,
+                  translate: np.ndarray | None = None,
+                  scale: float = 1.0) -> np.ndarray:
+    """COLMAP-convention w2c from (R: c2w rotation as stored, t: w2c trans).
+
+    Mirrors reference `getWorld2View2` (`graphics_utils.py:131-148`): builds
+    w2c from (Rᵀ, t), then optionally re-centers/rescales the camera center.
+    """
+    Rt = np.zeros((4, 4), dtype=np.float64)
+    Rt[:3, :3] = R.T
+    Rt[:3, 3] = t
+    Rt[3, 3] = 1.0
+    if translate is not None or scale != 1.0:
+        translate = np.zeros(3) if translate is None else np.asarray(translate)
+        c2w = np.linalg.inv(Rt)
+        c2w[:3, 3] = (c2w[:3, 3] + translate) * scale
+        Rt = np.linalg.inv(c2w)
+    return Rt.astype(np.float32)
+
+
+def projection_matrix(znear: float, zfar: float, fovx: float, fovy: float
+                      ) -> np.ndarray:
+    """OpenGL-style asymmetric-free perspective matrix, z in [0, 1].
+
+    Matches reference `getProjectionMatrix` (`graphics_utils.py:151-171`).
+    """
+    tan_x = math.tan(fovx / 2)
+    tan_y = math.tan(fovy / 2)
+    P = np.zeros((4, 4), dtype=np.float32)
+    P[0, 0] = 1.0 / tan_x
+    P[1, 1] = 1.0 / tan_y
+    P[2, 2] = zfar / (zfar - znear)
+    P[2, 3] = -(zfar * znear) / (zfar - znear)
+    P[3, 2] = 1.0
+    return P
+
+
+def projection_matrix_center_shift(
+    znear: float, zfar: float, cx: float, cy: float,
+    fl_x: float, fl_y: float, w: int, h: int) -> np.ndarray:
+    """Perspective matrix with principal-point shift.
+
+    Matches reference `getProjectionMatrixCenterShift`
+    (`graphics_utils.py:174-192`).
+    """
+    top = cy / fl_y * znear
+    bottom = -(h - cy) / fl_y * znear
+    left = -(w - cx) / fl_x * znear
+    right = cx / fl_x * znear
+    P = np.zeros((4, 4), dtype=np.float32)
+    P[0, 0] = 2.0 * znear / (right - left)
+    P[1, 1] = 2.0 * znear / (top - bottom)
+    P[0, 2] = (right + left) / (right - left)
+    P[1, 2] = (top + bottom) / (top - bottom)
+    P[3, 2] = 1.0
+    P[2, 2] = zfar / (zfar - znear)
+    P[2, 3] = -(zfar * znear) / (zfar - znear)
+    return P
+
+
+def fov2focal(fov: float, pixels: int) -> float:
+    return pixels / (2 * math.tan(fov / 2))
+
+
+def focal2fov(focal: float, pixels: int) -> float:
+    return 2 * math.atan(pixels / (2 * focal))
+
+
+def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
+    """NDC [-1,1] → continuous pixel coordinate (`auxiliary.h:41-44`)."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def hdr2ldr(img: jnp.ndarray, scale: float = 0.666667) -> jnp.ndarray:
+    """ACES filmic tonemap (`graphics_utils.py:197-201`)."""
+    img = img * scale
+    return (img * (2.51 * img + 0.03)) / (img * (2.43 * img + 0.59) + 0.14)
