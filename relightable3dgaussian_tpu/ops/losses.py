@@ -1,0 +1,122 @@
+"""Training losses: L1, D-SSIM, bilateral smoothness, entropy, normal terms.
+
+TPU-native analogue of the reference `utils/loss_utils.py` (ssim at
+`loss_utils.py:31-62`, bilateral smoothness at `:85-96`) plus the loss
+assembly logic scattered through `gaussian_renderer/render.py:118-181` and
+`gaussian_renderer/neilf.py:203-352`.  All images here are [H, W, C]
+(channel-last — the natural TPU layout); separable SSIM convolutions run
+as two small depthwise convs that XLA fuses well.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def l1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(a - b))
+
+
+def psnr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    mse = jnp.mean((a - b) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    return g / jnp.sum(g)
+
+
+def _sep_filter2d(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise separable 2D filter on [H, W, C] with same padding."""
+    H, W, C = img.shape
+    n = k.shape[0]
+    pad = n // 2
+    x = img[None]  # [1, H, W, C]
+    kh = jnp.tile(k.reshape(1, n, 1, 1), (1, 1, 1, C))
+    kw = jnp.tile(k.reshape(n, 1, 1, 1), (1, 1, 1, C))
+    dn = jax.lax.conv_dimension_numbers(x.shape, (1, n, 1, C), ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
+        feature_group_count=C)
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
+        feature_group_count=C)
+    return x[0]
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         sigma: float = 1.5) -> jnp.ndarray:
+    """Mean SSIM over an [H, W, C] pair (reference `loss_utils.py:31-62`).
+
+    Uses zero ('same') padding like the torch original — border handling
+    must match for loss parity.
+    """
+    k = _gaussian_window(window_size, sigma)
+    mu1 = _sep_filter2d(img1, k)
+    mu2 = _sep_filter2d(img2, k)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _sep_filter2d(img1 * img1, k) - mu1_sq
+    s2 = _sep_filter2d(img2 * img2, k) - mu2_sq
+    s12 = _sep_filter2d(img1 * img2, k) - mu12
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    return jnp.mean(ssim_map)
+
+
+def image_gradient_mag(data: jnp.ndarray) -> jnp.ndarray:
+    """|Sobel_x| + |Sobel_y| of a single-channel [H, W] image with 'same'
+    zero padding (reference `cal_gradient`, `loss_utils.py:66-84`)."""
+    kx = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
+    ky = kx.T
+    x = data[None, :, :, None]
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, (3, 3, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    gx = jax.lax.conv_general_dilated(
+        x, kx.reshape(3, 3, 1, 1), (1, 1), "SAME", dimension_numbers=dn)
+    gy = jax.lax.conv_general_dilated(
+        x, ky.reshape(3, 3, 1, 1), (1, 1), "SAME", dimension_numbers=dn)
+    return (jnp.abs(gx) + jnp.abs(gy))[0, :, :, 0]
+
+
+def bilateral_smooth(data: jnp.ndarray, image: jnp.ndarray,
+                     mask: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware smoothness: mean(|∇data| * exp(-|∇image|) * mask).
+
+    data/image: [H, W, C]; mask: [H, W] or [H, W, 1].
+    Matches reference `bilateral_smooth_loss` (`loss_utils.py:85-96`),
+    which averages channels before taking gradients.
+    """
+    rgb_grad = image_gradient_mag(jnp.mean(image, axis=-1))
+    data_grad = image_gradient_mag(jnp.mean(data, axis=-1))
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    return jnp.mean(data_grad * jnp.exp(-rgb_grad) * mask)
+
+
+def opacity_entropy(opacity: jnp.ndarray, mask: jnp.ndarray,
+                    eps: float = 1e-10) -> jnp.ndarray:
+    """Binary cross-entropy pushing rendered opacity toward the gt mask
+    (reference `render.py:132-140` lambda_mask_entropy)."""
+    o = jnp.clip(opacity, eps, 1.0 - eps)
+    return -jnp.mean(mask * jnp.log(o) + (1.0 - mask) * jnp.log(1.0 - o))
+
+
+def normal_consistency(normal: jnp.ndarray, target: jnp.ndarray,
+                       weight: jnp.ndarray) -> jnp.ndarray:
+    """Weighted (1 - cos) between two [H, W, 3] normal maps
+    (reference `render.py:142-162` lambda_normal_render_depth)."""
+    cos = jnp.sum(normal * target, axis=-1)
+    return jnp.mean(weight * (1.0 - cos))
+
+
+def tv(img: jnp.ndarray) -> jnp.ndarray:
+    """Total variation on [H, W, C]."""
+    dx = jnp.abs(img[:, 1:] - img[:, :-1]).mean()
+    dy = jnp.abs(img[1:, :] - img[:-1, :]).mean()
+    return dx + dy

@@ -84,6 +84,7 @@ def preprocess(
     active_sh_degree: int = 3,
     scale_modifier: float = 1.0,
     znear: float = 0.2,
+    xy_offset: jnp.ndarray | None = None,
 ) -> ProjectedSplats:
     """Project all splats to screen space and compute tile coverage.
 
@@ -95,6 +96,10 @@ def preprocess(
       sh_coeffs: [P, K, 3] or None if colors_precomp given.
       colors_precomp: [P, 3] or None.
       cov3d_precomp: [P, 3, 3] or None.
+      xy_offset: [P, 2] zeros added to screen xy — differentiate the loss
+        w.r.t. it to read screen-space position gradients (the analogue of
+        the reference's `screenspace_points` retain_grad trick,
+        `render.py:19-23`); densification thresholds consume its norm.
     """
     P = means3d.shape[0]
     f32 = means3d.dtype
@@ -111,6 +116,8 @@ def preprocess(
     ndc = hom * inv_w[..., None]
     xy = jnp.stack(
         [tf.ndc2pix(ndc[..., 0], width), tf.ndc2pix(ndc[..., 1], height)], -1)
+    if xy_offset is not None:
+        xy = xy + xy_offset
 
     # --- 3D covariance ---
     if cov3d_precomp is None:

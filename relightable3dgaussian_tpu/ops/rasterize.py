@@ -68,6 +68,7 @@ def rasterize(
     cov3d_precomp: jnp.ndarray | None = None,
     extra_features: jnp.ndarray | None = None,
     active_sh_degree: int = 3,
+    xy_offset: jnp.ndarray | None = None,
 ) -> RasterizeOutput:
     """Render splats to an image plus auxiliary channels.
 
@@ -97,6 +98,7 @@ def rasterize(
         active_sh_degree=active_sh_degree,
         scale_modifier=cfg.scale_modifier,
         znear=cfg.znear,
+        xy_offset=xy_offset,
     )
 
     bins = binning.bin_splats(

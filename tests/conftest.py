@@ -1,17 +1,21 @@
 """Test configuration: run everything on an 8-device virtual CPU mesh.
 
-Must set the env vars before jax is imported anywhere.
+The ambient environment pre-imports jax at interpreter startup with a
+remote-TPU ("axon") platform plugin, so setting the JAX_PLATFORMS env var
+here is too late — the value was already read.  `jax.config.update` works
+at any point before backend initialization, which is what we use.  The
+XLA_FLAGS env var is still honored lazily (the CPU client is created on
+first use), so the 8-device virtual mesh flag can go through the env.
 """
 import os
 
-# Force CPU: the ambient environment may point JAX_PLATFORMS at a real TPU
-# tunnel (axon); tests always run on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

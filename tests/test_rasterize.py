@@ -106,45 +106,44 @@ def oracle_render(scene, w2c, full_proj, focal, tanf, bg):
         depth[i] = tz
         radius[i] = rad
 
+    # Sequentially composite in depth order; per-pixel state is carried in
+    # [H, W] arrays (exact same per-pixel semantics as a scalar loop: a
+    # splat that would drive T below 1e-4 stops the pixel *before* being
+    # applied, and once stopped a pixel never accumulates again).
     order = np.argsort(depth, kind="stable")
     img = np.zeros((H, W, F))
-    final_t = np.ones((H, W))
-    for pyx in range(H):
-        for pxx in range(W):
-            T = 1.0
-            for i in order:
-                if not valid[i]:
-                    continue
-                # tile-rect coverage test (splat only composites into
-                # tiles its rect touches)
-                tile_x, tile_y = pxx // 16, pyx // 16
-                rad = radius[i]
-                px_, py_ = xy[i]
-                gx = (W + 15) // 16
-                gy = (H + 15) // 16
-                rminx = min(gx, max(0, int((px_ - rad) / 16)))
-                rminy = min(gy, max(0, int((py_ - rad) / 16)))
-                rmaxx = min(gx, max(0, int((px_ + rad + 15) / 16)))
-                rmaxy = min(gy, max(0, int((py_ + rad + 15) / 16)))
-                if not (rminx <= tile_x < rmaxx and rminy <= tile_y < rmaxy):
-                    continue
-                dx, dy = px_ - pxx, py_ - pyx
-                a, b, c = conic[i]
-                power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-                if power > 0:
-                    continue
-                alpha = min(0.99, scene["opacity"][i] * np.exp(power))
-                if alpha < 1 / 255:
-                    continue
-                test_T = T * (1 - alpha)
-                if test_T < 1e-4:
-                    break
-                w = alpha * T
-                f = feats[i].copy()
-                f[3] = depth[i]
-                img[pyx, pxx] += w * f
-                T = test_T
-            final_t[pyx, pxx] = T
+    T = np.ones((H, W))
+    stopped = np.zeros((H, W), bool)
+    pxg, pyg = np.meshgrid(np.arange(W, dtype=np.float64),
+                           np.arange(H, dtype=np.float64))
+    tile_xg, tile_yg = (pxg / 16).astype(int), (pyg / 16).astype(int)
+    gx = (W + 15) // 16
+    gy = (H + 15) // 16
+    for i in order:
+        if not valid[i]:
+            continue
+        rad = radius[i]
+        px_, py_ = xy[i]
+        rminx = min(gx, max(0, int((px_ - rad) / 16)))
+        rminy = min(gy, max(0, int((py_ - rad) / 16)))
+        rmaxx = min(gx, max(0, int((px_ + rad + 15) / 16)))
+        rmaxy = min(gy, max(0, int((py_ + rad + 15) / 16)))
+        cover = ((rminx <= tile_xg) & (tile_xg < rmaxx)
+                 & (rminy <= tile_yg) & (tile_yg < rmaxy))
+        dx, dy = px_ - pxg, py_ - pyg
+        a, b, c = conic[i]
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+        alpha = np.minimum(0.99, scene["opacity"][i] * np.exp(power))
+        ok = cover & (power <= 0) & (alpha >= 1 / 255) & ~stopped
+        test_T = T * (1 - alpha)
+        trigger = ok & (test_T < 1e-4)
+        apply = ok & ~trigger
+        f = feats[i].copy()
+        f[3] = depth[i]
+        img += np.where(apply, alpha * T, 0.0)[..., None] * f
+        T = np.where(apply, test_T, T)
+        stopped |= trigger
+    final_t = T
     color = img[..., :3] + final_t[..., None] * bg
     return color, img[..., 3], img[..., 4], img[..., 5:], final_t
 
