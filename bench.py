@@ -1,0 +1,106 @@
+"""Benchmark: forward+backward rasterization throughput in Mpix/s/chip.
+
+Measures the headline BASELINE.md metric — fwd+bwd megapixels per second
+per chip on a NeRF-synthetic-like workload (800x800 image, 100k alive
+splats, full train-step gradient computation) — on whatever single device
+JAX provides (real TPU under axon; CPU elsewhere).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+`vs_baseline` is value / 40 Mpix/s: the reference repo publishes no
+numbers (BASELINE.md), so 40 Mpix/s stands in for A100-class CUDA 3DGS
+training throughput (~60 fps fwd+bwd at 800² ≈ 38 Mpix/s, the commonly
+reported order of magnitude for graphdeco 3DGS training steps on A100).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+    import jax
+    import jax.numpy as jnp
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
+    from relightable3dgaussian_tpu.models import gaussians as G
+    from relightable3dgaussian_tpu.models import render as R
+    from relightable3dgaussian_tpu.ops.rasterize import RasterizeConfig
+    from relightable3dgaussian_tpu.scene.cameras import make_camera
+
+    W = H = 800
+    P = 100_000
+    capacity = 131_072
+
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(P, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pts = (dirs * rng.uniform(0.3, 0.9, (P, 1))).astype(np.float32)
+    cols = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    state = G.create_from_points(pts, cols, capacity=capacity,
+                                 init_scale=np.full(P, 0.01, np.float32))
+
+    cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=32,
+                          max_per_tile=512, chunk=32)
+
+    c = np.array([0.0, 0.0, 2.8])
+    fwd_v = -c / np.linalg.norm(c)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd_v, up)
+    dn = np.cross(fwd_v, right)
+    R_c2w = np.stack([right, dn, fwd_v], axis=1)
+    cam = make_camera(uid=0, R=R_c2w, t=-R_c2w.T @ c, fovx=0.9, fovy=0.9,
+                      width=W, height=H)
+    camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
+    bg = jnp.zeros(3)
+    target = jnp.asarray(
+        rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    loss_cfg = R.LossConfig(lambda_dssim=0.2)
+
+    @jax.jit
+    def fwd_bwd(params):
+        def loss_fn(p):
+            results = R.render_view(
+                p, state.alive, camera, bg, cfg, active_sh_degree=3,
+                compute_pseudo_normal=False)
+            loss, _ = R.calculate_loss(
+                results, {"image": target}, loss_cfg)
+            return loss
+        return jax.value_and_grad(loss_fn)(params)
+
+    # warmup / compile
+    print(f"# compiling on {jax.devices()[0].platform}...",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    loss, grads = fwd_bwd(state.params)
+    jax.block_until_ready(loss)
+    print(f"# compile+first step: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = fwd_bwd(state.params)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    mpix_s = (W * H * iters) / dt / 1e6
+    baseline_mpix_s = 40.0
+    print(json.dumps({
+        "metric": "fwd_bwd_throughput_800px_100k",
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix_s / baseline_mpix_s, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

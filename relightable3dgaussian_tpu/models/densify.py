@@ -191,13 +191,12 @@ def densify_and_prune(
     touched = newly | ~new_alive
     opt_state = zero_opt_state_at(opt_state, touched, N)
 
-    zeros = jnp.zeros(N, jnp.float32)
     new_state = G.GaussianState(
         params=new_params,
         alive=new_alive,
-        xyz_grad_accum=zeros,
-        normal_grad_accum=zeros,
-        denom=zeros,
+        xyz_grad_accum=jnp.zeros(N, jnp.float32),
+        normal_grad_accum=jnp.zeros(N, jnp.float32),
+        denom=jnp.zeros(N, jnp.float32),
         max_radii2d=jnp.zeros(N, jnp.int32),
     )
     info = {
@@ -237,9 +236,12 @@ def reset_opacity(state: G.GaussianState, opt_state: Any,
     new_raw = jnp.log(jnp.minimum(op, ceiling) /
                       (1.0 - jnp.minimum(op, ceiling)))[:, None]
     new_params = p.replace(opacity=new_raw)
-    # Zero only the opacity leaf: walk the pytree and match by shape.
+    # Zero only the opacity leaf: walk the pytree for GaussianParams-shaped
+    # nodes (optax.multi_transform wraps other labels' slots in MaskedNode
+    # placeholders, which must pass through untouched).
     def fix(leaf):
-        if isinstance(leaf, G.GaussianParams):
+        if isinstance(leaf, G.GaussianParams) and \
+                isinstance(leaf.opacity, jnp.ndarray):
             return leaf.replace(opacity=jnp.zeros_like(leaf.opacity))
         return leaf
     opt_state = jax.tree.map(

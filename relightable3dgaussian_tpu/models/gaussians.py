@@ -185,13 +185,14 @@ def create_from_points(
         else jnp.zeros((capacity, 0, 1)),
     )
     alive = jnp.asarray(np.arange(capacity) < P)
-    zeros = jnp.zeros(capacity, jnp.float32)
+    # Distinct buffers per field — aliased leaves break XLA donation
+    # ("attempt to donate the same buffer twice").
     return GaussianState(
         params=params,
         alive=alive,
-        xyz_grad_accum=zeros,
-        normal_grad_accum=zeros,
-        denom=zeros,
+        xyz_grad_accum=jnp.zeros(capacity, jnp.float32),
+        normal_grad_accum=jnp.zeros(capacity, jnp.float32),
+        denom=jnp.zeros(capacity, jnp.float32),
         max_radii2d=jnp.zeros(capacity, jnp.int32),
     )
 

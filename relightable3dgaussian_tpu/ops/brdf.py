@@ -1,0 +1,203 @@
+"""NeILF render equation: per-splat physically-based shading.
+
+TPU-native analogue of the reference CUDA render-equation kernels
+(`r3dg-rasterization/render_equation.cu:52-727`) and their Python twin
+(`gaussian_renderer/neilf.py:425-519`), which this module matches term by
+term (the twin is the reference's own correctness oracle).  Unlike the
+CUDA path there is no hand-derived backward — the whole thing is dense
+[P, S] jnp math (VPU-bound, XLA-fused) and autodiff provides gradients
+for all eight inputs.
+
+Model summary (per splat, S incident directions):
+  * fibonacci-sphere directions rotated to the normal's hemisphere,
+    random azimuth during training;
+  * incident light = per-splat SH (local) + global SH env x SH visibility;
+  * simplified Disney BRDF: SG-normalized D, Schlick F, Schlick-GGX V;
+  * outgoing = mean over samples of (f_d + f_s) * L_i * 2*pi * cos.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from . import sh as sh_ops
+from .transforms import normalize as _safe_unit
+
+PI = 3.14159265358979
+
+
+def fibonacci_sphere_dirs(sample_num: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[S, 3] unit dirs on the +z hemisphere spiral (reference
+    `utils/graphics_utils.py:9-37`; z from 1 to ~-1 over 2S-1 steps —
+    i.e. covers the upper hemisphere for i < S)."""
+    i = jnp.arange(sample_num, dtype=dtype)
+    delta = PI * (3.0 - jnp.sqrt(5.0))
+    z = 1.0 - 2.0 * i / (2.0 * sample_num - 1.0)
+    rad = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    theta = delta * i
+    return jnp.stack([jnp.sin(theta) * rad, jnp.cos(theta) * rad, z], -1)
+
+
+def sample_incident_dirs(
+    normals: jnp.ndarray,
+    sample_num: int,
+    rng: jax.Array | None = None,
+) -> jnp.ndarray:
+    """[P, S, 3] hemisphere directions around each normal.
+
+    A fibonacci spiral around +z is rotated to each normal
+    (`rotation_between_z`); when `rng` is given the spiral gets a random
+    per-splat azimuth (training-time stochastic integration,
+    `fibonacci_sphere_sampling(random_rotate=True)`).
+    """
+    P = normals.shape[0]
+    dt = normals.dtype
+    i = jnp.arange(sample_num, dtype=dt)
+    delta = PI * (3.0 - jnp.sqrt(5.0))
+    z = 1.0 - 2.0 * i / (2.0 * sample_num - 1.0)               # [S]
+    rad = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    theta = delta * i[None, :]                                  # [1, S]
+    if rng is not None:
+        theta = theta + jax.random.uniform(rng, (P, 1), dt) * 2.0 * PI
+    x = jnp.sin(theta) * rad[None, :]
+    y = jnp.cos(theta) * rad[None, :]
+    zb = jnp.broadcast_to(z[None, :], x.shape)
+    local = jnp.stack([x, y, zb], -1)                           # [P, S, 3]
+    R = sh_ops.rotation_between_z(normals)                      # [P, 3, 3]
+    dirs = jnp.einsum("pij,psj->psi", R, local)
+    return _safe_unit(dirs)
+
+
+def _d_sg(roughness: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
+    """Spherical-gaussian-normalized NDF (reference `_d_sg`,
+    `neilf.py:478-483`)."""
+    r2 = jnp.maximum(roughness * roughness, 1e-7)
+    amp = 1.0 / (r2 * PI)
+    sharp = 2.0 / r2
+    return amp * jnp.exp(sharp * (cos - 1.0))
+
+
+def _v_schlick_ggx(roughness: jnp.ndarray, cos: jnp.ndarray) -> jnp.ndarray:
+    r2 = (1.0 + roughness) ** 2 / 8.0
+    return 0.5 / jnp.maximum(cos * (1.0 - r2) + r2, 1e-7)
+
+
+def rendering_equation(
+    base_color: jnp.ndarray,
+    roughness: jnp.ndarray,
+    metallic: jnp.ndarray,
+    normals: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    incidents: jnp.ndarray,
+    direct_shs: jnp.ndarray | None = None,
+    visibility_shs: jnp.ndarray | None = None,
+    sample_num: int = 24,
+    rng: jax.Array | None = None,
+    incident_dirs: jnp.ndarray | None = None,
+    incident_lights_precomp: jnp.ndarray | None = None,
+    visibility_precomp: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, dict[str, Any]]:
+    """Evaluate the render equation for every splat.
+
+    Args (all [P, ...] unless noted):
+      base_color [P, 3]; roughness [P, 1]; metallic [P, 1];
+      normals [P, 3] unit; viewdirs [P, 3] unit (splat → camera);
+      incidents [P, Ki, 3] per-splat incident-light SH;
+      direct_shs [1, Kd, 3] or [Kd, 3] global env SH (None → no global);
+      visibility_shs [P, Kv, 1] per-splat visibility SH;
+      sample_num: S; rng: azimuth randomization key (training);
+      incident_dirs: optional precomputed [P, S, 3] directions;
+      incident_lights_precomp: optional [P, S, 3] env light per direction
+        (relighting path: env-map lookup instead of SH);
+      visibility_precomp: optional [P, S, 1] ray-traced visibility
+        (composition path, `neilf_composite.py:269-279`).
+
+    Returns:
+      (pbr [P, 3], extras dict) matching the reference Python twin
+      (`rendering_equation_python`, `neilf.py:437-519`).
+    """
+    if incident_dirs is None:
+        incident_dirs = sample_incident_dirs(normals, sample_num, rng)
+    S = incident_dirs.shape[1]
+
+    # SH basis at the incident directions; deg from visibility coeff count
+    # (reference: deg = sqrt(Kv) - 1, `neilf.py:448`), fall back to deg 3.
+    if visibility_shs is not None:
+        deg = int(round(visibility_shs.shape[1] ** 0.5)) - 1
+    else:
+        deg = 3
+    coef = sh_ops.eval_sh_basis(deg, incident_dirs)             # [P, S, K]
+
+    ki = incidents.shape[1]
+    local = jnp.maximum(
+        jnp.einsum("psk,pkc->psc", coef[..., :ki], incidents), 0.0)
+
+    if incident_lights_precomp is not None:
+        global_lights = incident_lights_precomp
+    elif direct_shs is not None:
+        dshs = direct_shs.reshape(-1, 3)                        # [Kd, 3]
+        kd = dshs.shape[0]
+        global_lights = jnp.maximum(
+            jnp.einsum("psk,kc->psc", coef[..., :kd], dshs) + 0.5, 0.0)
+    else:
+        global_lights = jnp.zeros_like(local)
+
+    if visibility_precomp is not None:
+        vis = visibility_precomp
+    elif visibility_shs is not None:
+        kv = visibility_shs.shape[1]
+        vis = jnp.clip(
+            jnp.einsum("psk,pkc->psc", coef[..., :kv], visibility_shs)
+            + 0.5, 0.0, 1.0)
+    else:
+        vis = jnp.ones_like(local[..., :1])
+
+    global_lights = global_lights * vis
+    incident_lights = local + global_lights
+
+    n = normals[:, None, :]
+    v = viewdirs[:, None, :]
+    half = _safe_unit(incident_dirs + v)
+
+    def dot(a, b):
+        return jnp.maximum(jnp.sum(a * b, -1, keepdims=True), 0.0)
+
+    h_d_n = dot(half, n)
+    h_d_o = dot(half, v)
+    n_d_i = dot(n, incident_dirs)
+    n_d_o = dot(n, v)
+
+    base = base_color[:, None, :]
+    rough = roughness[:, None, :]
+    metal = metallic[:, None, :]
+
+    f_d = (1.0 - metal) * base / PI
+    D = _d_sg(rough, h_d_n)
+    f0 = 0.04 * (1.0 - metal) + base * metal
+    F = f0 + (1.0 - f0) * (1.0 - h_d_o) ** 5
+    V = _v_schlick_ggx(rough, n_d_i) * _v_schlick_ggx(rough, n_d_o)
+    f_s = D * F * V
+
+    transport = incident_lights * (2.0 * PI) * n_d_i            # [P, S, 3]
+    rgb_d = jnp.mean(f_d * transport, axis=1)
+    rgb_s = jnp.mean(f_s * transport, axis=1)
+    pbr = rgb_d + rgb_s
+    diffuse_light = jnp.mean(transport, axis=1)
+    local_diffuse_light = jnp.mean(local * (2.0 * PI) * n_d_i, axis=1)
+
+    extras = {
+        "incident_dirs": incident_dirs,
+        "incident_lights": incident_lights,
+        "local_incident_lights": local,
+        "global_incident_lights": global_lights,
+        "incident_visibility": vis,
+        "diffuse_light": diffuse_light,
+        "local_diffuse_light": local_diffuse_light,
+        "rgb_d": rgb_d,
+        "rgb_s": rgb_s,
+        # mean-channel accumulated radiance (`render_equation.cu:182-184`)
+        "accum": jnp.mean(diffuse_light / PI + rgb_s, axis=-1),
+    }
+    return pbr, extras

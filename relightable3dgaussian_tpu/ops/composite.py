@@ -114,6 +114,8 @@ def composite(
     feats: jnp.ndarray,
     grid: tuple[int, int],
     chunk: int = 32,
+    tile_axis: str | None = None,
+    tile_shards: int = 1,
 ) -> CompositeOutput:
     """Blend features front-to-back for every tile.
 
@@ -127,6 +129,11 @@ def composite(
       grid: (gx, gy).
       chunk: static depth-chunk length (contraction dim of the blend
         matmul; 32-128 are reasonable).
+      tile_axis: inside `shard_map`, the mesh axis to shard the tile loop
+        over — each member composites T/tile_shards tiles and the image
+        is re-assembled with an `all_gather` over that axis (the
+        sequence-parallel analogue of SURVEY.md §2.7).
+      tile_shards: static size of `tile_axis` (XLA needs static shapes).
 
     Returns:
       CompositeOutput with a padded [gy*TILE, gx*TILE, F] image.
@@ -138,15 +145,28 @@ def composite(
     assert K % chunk == 0, (K, chunk)
     nchunks = K // chunk
 
-    tile_ids = jnp.arange(T, dtype=jnp.int32)
+    idx_all, mask_all = bins.idx, bins.mask
+    if tile_axis is not None:
+        assert T % tile_shards == 0, (T, tile_shards)
+        Tl = T // tile_shards
+        my = jax.lax.axis_index(tile_axis)
+        start = my * Tl
+        idx_all = jax.lax.dynamic_slice_in_dim(idx_all, start, Tl, axis=0)
+        mask_all = jax.lax.dynamic_slice_in_dim(mask_all, start, Tl, axis=0)
+        tile_ids = start + jnp.arange(Tl, dtype=jnp.int32)
+        Tc = Tl
+    else:
+        tile_ids = jnp.arange(T, dtype=jnp.int32)
+        Tc = T
+
     p = jnp.arange(P2, dtype=jnp.int32)
     pixx = ((tile_ids % gx)[:, None] * TILE + (p % TILE)[None, :]
             ).astype(jnp.float32)
     pixy = ((tile_ids // gx)[:, None] * TILE + (p // TILE)[None, :]
             ).astype(jnp.float32)
 
-    ids = jnp.moveaxis(bins.idx.reshape(T, nchunks, chunk), 1, 0)
-    msk = jnp.moveaxis(bins.mask.reshape(T, nchunks, chunk), 1, 0)
+    ids = jnp.moveaxis(idx_all.reshape(Tc, nchunks, chunk), 1, 0)
+    msk = jnp.moveaxis(mask_all.reshape(Tc, nchunks, chunk), 1, 0)
     k_offsets = jnp.arange(nchunks, dtype=jnp.int32) * chunk
 
     body = functools.partial(
@@ -155,13 +175,20 @@ def composite(
     body = jax.checkpoint(body)
 
     init = (
-        jnp.ones((T, P2), jnp.float32),
-        jnp.zeros((T, P2), bool),
-        jnp.zeros((T, P2, F), jnp.float32),
-        jnp.zeros((T, P2), jnp.int32),
+        jnp.ones((Tc, P2), jnp.float32),
+        jnp.zeros((Tc, P2), bool),
+        jnp.zeros((Tc, P2, F), jnp.float32),
+        jnp.zeros((Tc, P2), jnp.int32),
     )
     (final_t, _, accum, last), _ = jax.lax.scan(
         body, init, (ids, msk, k_offsets))
+
+    if tile_axis is not None:
+        gather = functools.partial(
+            jax.lax.all_gather, axis_name=tile_axis, axis=0, tiled=True)
+        final_t = gather(final_t)
+        accum = gather(accum)
+        last = gather(last)
 
     def untile(x):
         extra = x.shape[2:]

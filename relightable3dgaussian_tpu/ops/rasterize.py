@@ -32,6 +32,10 @@ class RasterizeConfig:
     chunk: int = 32                    # compositing chunk (matmul K dim)
     znear: float = 0.2
     scale_modifier: float = 1.0
+    # Sharded compositing (only valid inside shard_map over a mesh that
+    # has this axis): each member composites T/tile_shards tiles.
+    tile_axis: str | None = None
+    tile_shards: int = 1
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -115,7 +119,8 @@ def rasterize(
 
     out = comp.composite(
         bins, proj.xy, proj.conic, proj.opacity, feats,
-        cfg.grid, chunk=cfg.chunk)
+        cfg.grid, chunk=cfg.chunk,
+        tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)
 
     img = out.image[: cfg.height, : cfg.width]
     final_t = out.final_t[: cfg.height, : cfg.width]

@@ -33,7 +33,14 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+    """Unit-normalize with a NaN-safe gradient at v == 0.
+
+    `jnp.linalg.norm` has a NaN derivative at exactly zero (sqrt'(0));
+    clamping the *squared* norm before the sqrt keeps both value and
+    gradient finite for padded/dead zero vectors.
+    """
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    return v / jnp.sqrt(jnp.maximum(n2, eps * eps))
 
 
 def build_cov3d(scale: jnp.ndarray, quat: jnp.ndarray,

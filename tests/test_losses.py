@@ -1,0 +1,90 @@
+"""Loss correctness vs torch reference formulas (torch-cpu is available
+and framework-agnostic — SSIM/Sobel are computed with torch.nn.functional
+as an independent oracle, the same math the reference uses)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as TF  # noqa: E402
+
+from relightable3dgaussian_tpu.ops import losses  # noqa: E402
+
+
+def torch_ssim(a, b, window_size=11, sigma=1.5):
+    """Reference-style SSIM with zero-padded gaussian window."""
+    x = torch.arange(window_size, dtype=torch.float64) - window_size // 2
+    g = torch.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+    win = (g[:, None] @ g[None, :])[None, None]
+    C = a.shape[-1]
+    win = win.expand(C, 1, window_size, window_size)
+    ta = torch.tensor(a, dtype=torch.float64).permute(2, 0, 1)[None]
+    tb_ = torch.tensor(b, dtype=torch.float64).permute(2, 0, 1)[None]
+    pad = window_size // 2
+    mu1 = TF.conv2d(ta, win, padding=pad, groups=C)
+    mu2 = TF.conv2d(tb_, win, padding=pad, groups=C)
+    mu1s, mu2s, mu12 = mu1**2, mu2**2, mu1 * mu2
+    s1 = TF.conv2d(ta * ta, win, padding=pad, groups=C) - mu1s
+    s2 = TF.conv2d(tb_ * tb_, win, padding=pad, groups=C) - mu2s
+    s12 = TF.conv2d(ta * tb_, win, padding=pad, groups=C) - mu12
+    c1, c2 = 0.01**2, 0.03**2
+    smap = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
+        (mu1s + mu2s + c1) * (s1 + s2 + c2))
+    return float(smap.mean())
+
+
+@pytest.fixture(scope="module")
+def imgs():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (40, 52, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, a.shape), 0, 1).astype(np.float32)
+    return a, b
+
+
+def test_ssim_matches_torch(imgs):
+    a, b = imgs
+    got = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
+    want = torch_ssim(a, b)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ssim_identity(imgs):
+    a, _ = imgs
+    assert float(losses.ssim(jnp.asarray(a), jnp.asarray(a))) > 0.999
+
+
+def test_bilateral_smooth_matches_torch(imgs):
+    a, b = imgs
+    mask = np.ones(a.shape[:2], np.float32)
+    got = float(losses.bilateral_smooth(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(mask)))
+
+    # torch oracle (reference bilateral_smooth_loss semantics)
+    kx = torch.tensor([[-1.0, 0, 1], [-2, 0, 2], [-1, 0, 1]],
+                      dtype=torch.float64)[None, None]
+    ky = kx.transpose(-1, -2)
+
+    def grad_mag(img):
+        t = torch.tensor(img.mean(-1), dtype=torch.float64)[None, None]
+        gx = TF.conv2d(t, kx, padding="same")
+        gy = TF.conv2d(t, ky, padding="same")
+        return (gx.abs() + gy.abs())[0, 0]
+
+    want = float((grad_mag(a) * torch.exp(-grad_mag(b))).mean())
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_psnr_and_entropy(imgs):
+    a, b = imgs
+    mse = np.mean((a - b) ** 2)
+    np.testing.assert_allclose(
+        float(losses.psnr(jnp.asarray(a), jnp.asarray(b))),
+        -10 * np.log10(mse), rtol=1e-5)
+    op = np.clip(np.random.default_rng(1).uniform(0, 1, (8, 8)), 0.01, 0.99)
+    m = (np.random.default_rng(2).uniform(0, 1, (8, 8)) > 0.5).astype(
+        np.float32)
+    want = -np.mean(m * np.log(op) + (1 - m) * np.log(1 - op))
+    np.testing.assert_allclose(
+        float(losses.opacity_entropy(jnp.asarray(op), jnp.asarray(m))),
+        want, rtol=1e-5)
