@@ -81,18 +81,22 @@ def main() -> None:
           file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     loss, grads = fwd_bwd(state.params)
-    jax.block_until_ready(loss)
+    jax.block_until_ready((loss, grads))
     print(f"# compile+first step: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
     iters = 10
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         loss, grads = fwd_bwd(state.params)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+        jax.block_until_ready((loss, grads))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    print(f"# per-step times: {[round(t, 3) for t in times]}",
+          file=sys.stderr, flush=True)
 
-    mpix_s = (W * H * iters) / dt / 1e6
+    mpix_s = (W * H) / dt / 1e6
     baseline_mpix_s = 40.0
     print(json.dumps({
         "metric": "fwd_bwd_throughput_800px_100k",

@@ -1,0 +1,242 @@
+"""Scene composition, rigid transforms, visibility baking, relighting.
+
+TPU-native analogue of the reference composition/relighting tooling:
+`GaussianModel.set_transform` (`scene/gaussian_model.py:237-262`),
+`create_from_gaussians` (`:464-476`), `finetune_visibility` (`:428-462`),
+`relighting.py:31-123` (scene_composition / update_visibility) and the
+`neilf_composite` pipeline (`gaussian_renderer/neilf_composite.py`).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops import brdf, raytrace
+from ..ops import transforms as tf
+from ..ops.rasterize import RasterizeConfig, rasterize
+from . import gaussians as G
+from . import lights as L
+
+
+def apply_transform(params: G.GaussianParams, transform: jnp.ndarray
+                    ) -> G.GaussianParams:
+    """Apply a 4x4 affine (rotation+scale+translation) to the splats.
+
+    Matches `set_transform(transform=...)` (`gaussian_model.py:238-249`):
+    per-axis scale = row norms of the 3x3 block, scaling multiplied,
+    normals and orientation quats rotated.
+    """
+    M = transform[:3, :3]
+    scale = jnp.linalg.norm(M, axis=-1)              # [3] per-row scale
+    R = M / scale[:, None]
+
+    new_scaling = jnp.log(jnp.maximum(
+        jnp.exp(params.scaling) * scale[None, :], 1e-12))
+    xyz = params.xyz @ M.T + transform[:3, 3]
+    normal = params.normal @ R.T
+    rot_q = tf.rotmat_to_quat(R)
+    new_rot = tf.quat_multiply(rot_q[None, :], params.rotation)
+    return params.replace(
+        xyz=xyz, normal=normal, scaling=new_scaling, rotation=new_rot)
+
+
+def concat_gaussians(states: list[G.GaussianState], capacity: int | None = None
+                     ) -> G.GaussianState:
+    """Merge several splat clouds into one state
+    (`create_from_gaussians`, `gaussian_model.py:464-476`).
+
+    Alive splats are packed to the front; `capacity` pads the result
+    (default: total alive count rounded up to a multiple of 256).
+    """
+    packed: dict[str, list[np.ndarray]] = {}
+    total = 0
+    for st in states:
+        mask = np.asarray(st.alive)
+        total += int(mask.sum())
+        for f in st.params.__dataclass_fields__:
+            packed.setdefault(f, []).append(
+                np.asarray(getattr(st.params, f))[mask])
+    if capacity is None:
+        capacity = int(-(-total // 256) * 256)
+    assert capacity >= total
+
+    def cat_pad(parts):
+        x = np.concatenate(parts, axis=0)
+        out = np.zeros((capacity,) + x.shape[1:], x.dtype)
+        out[: x.shape[0]] = x
+        return jnp.asarray(out)
+
+    params = G.GaussianParams(**{k: cat_pad(v) for k, v in packed.items()})
+    alive = jnp.asarray(np.arange(capacity) < total)
+    return G.GaussianState(
+        params=params, alive=alive,
+        xyz_grad_accum=jnp.zeros(capacity),
+        normal_grad_accum=jnp.zeros(capacity),
+        denom=jnp.zeros(capacity),
+        max_radii2d=jnp.zeros(capacity, jnp.int32))
+
+
+def finetune_visibility(
+    state: G.GaussianState,
+    iterations: int = 1000,
+    lr: float = 1e-2,
+    seed: int = 0,
+) -> G.GaussianState:
+    """Bake ray-traced visibility into the per-splat visibility SH
+    (`finetune_visibility`, `gaussian_model.py:428-462`): each iteration
+    traces one random hemisphere ray per splat and fits the SH by L1.
+    """
+    p = state.params
+    sym6 = raytrace.inverse_covariance(
+        G.get_scaling(p), G.get_rotation(p))
+    means = p.xyz
+    opacity = G.get_opacity(p)
+    normal = G.get_normal(p)
+    alive = state.alive
+
+    tx = optax.adam(lr)
+    opt = tx.init((p.visibility_dc, p.visibility_rest))
+
+    @jax.jit
+    def step(vis_dc, vis_rest, opt, key):
+        rays_d = tf.normalize(
+            jax.random.normal(key, means.shape))
+        flip = jnp.sum(rays_d * normal, -1, keepdims=True) < 0
+        rays_d = jnp.where(flip, -rays_d, rays_d)
+        traced = raytrace.trace_visibility(
+            means, rays_d, means, sym6, opacity, normal,
+            alive=alive)["visibility"]
+
+        def loss_fn(vd, vr):
+            from ..ops import sh as sh_ops
+            shs = jnp.concatenate([vd, vr], axis=1)      # [N, 16, 1]
+            pred = sh_ops.eval_sh(
+                3, jnp.swapaxes(shs, -1, -2), rays_d)[..., 0]
+            pred = jnp.clip(pred + 0.5, 0.0, 1.0)
+            w = alive.astype(pred.dtype)
+            return jnp.sum(jnp.abs(pred - traced) * w) / jnp.maximum(
+                jnp.sum(w), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn, (0, 1))(vis_dc, vis_rest)
+        updates, opt = tx.update(grads, opt)
+        vis_dc, vis_rest = optax.apply_updates((vis_dc, vis_rest), updates)
+        return vis_dc, vis_rest, opt, loss
+
+    key = jax.random.PRNGKey(seed)
+    vd, vr = p.visibility_dc, p.visibility_rest
+    for _ in range(iterations):
+        key, k = jax.random.split(key)
+        vd, vr, opt, _ = step(vd, vr, opt, k)
+    return state.replace(params=p.replace(
+        visibility_dc=vd, visibility_rest=vr))
+
+
+def precompute_visibility(
+    state: G.GaussianState,
+    sample_num: int = 384,
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """Trace per-splat visibility along the deterministic fibonacci dirs
+    (`update_visibility(is_bake=False)`, `relighting.py:58-86`).
+
+    Returns [N, S, 1] visibility aligned with `sample_incident_dirs`
+    (deterministic, no azimuth randomization).
+    """
+    p = state.params
+    sym6 = raytrace.inverse_covariance(G.get_scaling(p), G.get_rotation(p))
+    means = p.xyz
+    opacity = G.get_opacity(p)
+    normal = G.get_normal(p)
+    N = p.capacity
+
+    @jax.jit
+    def trace_chunk(offset_dirs):
+        o, d = offset_dirs
+        return raytrace.trace_visibility(
+            o, d, means, sym6, opacity, normal,
+            alive=state.alive)["visibility"]
+
+    dirs = brdf.sample_incident_dirs(normal, sample_num)    # [N, S, 3]
+    out = []
+    for off in range(0, N, chunk):
+        n = min(chunk, N - off)
+        o = jnp.repeat(means[off: off + n], sample_num, axis=0)
+        d = dirs[off: off + n].reshape(-1, 3)
+        out.append(trace_chunk((o, d)).reshape(n, sample_num, 1))
+    return jnp.concatenate(out, axis=0)
+
+
+def render_composite(
+    state: G.GaussianState,
+    camera: dict[str, jnp.ndarray],
+    bg_color: jnp.ndarray,
+    config: RasterizeConfig,
+    env: L.EnvMap,
+    visibility_precomp: jnp.ndarray | None = None,
+    sample_num: int = 384,
+    active_sh_degree: int = 3,
+    light_transform: jnp.ndarray | None = None,
+) -> dict[str, Any]:
+    """Offline composition render with env-map lighting
+    (`render_neilf_composite`, `neilf_composite.py:15-345`): incident
+    light from the HDR map instead of SH, visibility from precomputed
+    ray tracing, 21-channel eval feature packing.
+    """
+    p = state.params
+    attrs = G.render_attributes(p)
+    normal = G.get_normal(p)
+    base_color = G.get_base_color(p)
+    roughness = G.get_roughness(p)
+    metallic = G.get_metallic(p)
+    incidents = G.get_incidents(p)
+    viewdirs = tf.normalize(camera["campos"][None, :] - p.xyz)
+
+    dirs = brdf.sample_incident_dirs(normal, sample_num)
+    env_light = L.direct_light(env, dirs, transform=light_transform)
+    if visibility_precomp is None:
+        visibility_precomp = jnp.ones_like(env_light[..., :1])
+
+    pbr_color, extras = brdf.rendering_equation(
+        base_color, roughness, metallic, normal, viewdirs, incidents,
+        incident_dirs=dirs,
+        incident_lights_precomp=env_light,
+        visibility_precomp=visibility_precomp)
+
+    feats = jnp.concatenate(
+        [roughness, metallic,
+         jnp.mean(extras["incident_visibility"], axis=-2),
+         pbr_color, normal, base_color,
+         jnp.mean(extras["incident_lights"], axis=-2),
+         jnp.mean(extras["local_incident_lights"], axis=-2),
+         jnp.mean(extras["global_incident_lights"], axis=-2)], axis=-1)
+
+    out = rasterize(
+        means3d=attrs["means3d"], scales=attrs["scales"],
+        rotations=attrs["rotations"], opacities=attrs["opacities"],
+        alive=state.alive,
+        w2c=camera["w2c"], full_proj=camera["full_proj"],
+        campos=camera["campos"], focal=camera["focal"],
+        tan_fov=camera["tan_fov"], bg_color=bg_color, config=config,
+        sh_coeffs=attrs["sh_coeffs"], extra_features=feats,
+        active_sh_degree=active_sh_degree)
+
+    f = out.feature
+    op = out.opacity[..., None]
+    return {
+        "render": out.color,
+        "opacity": out.opacity,
+        "depth": out.depth,
+        "roughness": f[..., 0:1],
+        "metallic": f[..., 1:2],
+        "visibility": f[..., 2:3],
+        "pbr": f[..., 3:6] + (1.0 - op) * bg_color,
+        "normal": f[..., 6:9],
+        "base_color": f[..., 9:12],
+        "lights": f[..., 12:15],
+        "local_lights": f[..., 15:18],
+        "global_lights": f[..., 18:21],
+    }

@@ -114,7 +114,7 @@ def _read_radiance_hdr(path: str) -> np.ndarray:
                 row = head + f.read(4 * W - 4)
                 data[y] = np.frombuffer(row, np.uint8).reshape(W, 4)
     rgbe = data.astype(np.float32)
-    exp = np.ldexp(1.0, rgbe[..., 3] - 136.0)
+    exp = np.exp2(rgbe[..., 3] - 136.0)
     return rgbe[..., :3] * exp[..., None]
 
 

@@ -1,0 +1,381 @@
+"""Pallas TPU kernel for front-to-back tile compositing (fwd + custom VJP).
+
+Drop-in accelerated twin of `ops.composite.composite` (the pure-jnp
+version stays as the correctness oracle).  Why a kernel: XLA materializes
+every [T, chunk, 256] intermediate of the chunk body in HBM (~10 tensors
+x 82 MB per chunk step at 800^2), making the compositor HBM-bound at
+~400 ms per fwd+bwd.  Here each tile's whole splat list streams through
+VMEM once and all per-pixel state (transmittance, stop flags, the [256, F]
+accumulator) lives on-chip, so traffic drops to the gathered splat data
+(~72 MB/pass) — plus a per-tile early exit the dense jnp version cannot
+express: a tile stops integrating as soon as every pixel saturates, the
+exact optimization the CUDA `renderCUDA` gets from its divergent break
+(`forward.cu:477-485`).
+
+The layout: splat attributes are pre-gathered (XLA) into one
+[T, K, D] array, D = [xy(2) | conic(3) | opacity(1) | feats(F)].  The
+kernel walks K in chunks of C, doing the alpha/transmittance math on
+[C, 256] VPU tiles and one [256, C] x [C, F] MXU matmul per chunk.
+Transmittance is carried in log space; the in-chunk exclusive prefix
+product is a cumsum of log1p(-alpha).
+
+The backward kernel re-runs the forward sweep storing per-chunk carry
+checkpoints (logT, stop flags) in VMEM — O(K/C x 256) scratch — then
+sweeps in reverse accumulating gradients w.r.t. the gathered data; the
+XLA-level gather transpose scatter-adds those into per-splat gradients
+(the sort-based reduction that replaces the CUDA atomicAdd backward,
+`backward.cu:552-611`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import TileBins
+from .composite import ALPHA_MAX, ALPHA_MIN, T_STOP, CompositeOutput
+from .projection import TILE
+
+P2 = TILE * TILE  # 256 pixels per tile
+LOG_T_STOP = -9.210340371976184  # log(1e-4)
+
+
+
+def _cumsum0(x):
+    """Inclusive prefix sum along axis 0 as a lower-triangular matmul
+    (Pallas TPU has no cumsum primitive; an [C, C] tril x [C, P2] MXU
+    matmul is the fast in-kernel equivalent)."""
+    C = x.shape[0]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    L = (jj <= ii).astype(jnp.float32)
+    return jax.lax.dot_general(
+        L, x.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+def _pixel_coords(gx: int):
+    """Per-tile pixel coordinate rows [1, P2] from the program id."""
+    t = pl.program_id(0)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, P2), 1)
+    pixx = (t % gx) * TILE + (p % TILE)
+    pixy = (t // gx) * TILE + p // TILE
+    return pixx.astype(jnp.float32), pixy.astype(jnp.float32)
+
+
+def _chunk_quantities(data_ref, k0, C, F, count, pixx, pixy):
+    """Common per-chunk math: returns (alpha, valid, feat) for splats
+    [k0, k0+C) against the tile's 256 pixels."""
+    chunk = data_ref[0, pl.ds(k0, C), :]            # [C, D]
+    xs = chunk[:, 0:1]                              # [C, 1]
+    ys = chunk[:, 1:2]
+    ca = chunk[:, 2:3]
+    cb = chunk[:, 3:4]
+    cc = chunk[:, 4:5]
+    op = chunk[:, 5:6]
+    feat = chunk[:, 6:6 + F]                        # [C, F]
+
+    dx = xs - pixx                                   # [C, P2]
+    dy = ys - pixy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    k_ids = k0 + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+    in_count = k_ids < count
+    valid = in_count & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    return alpha, valid, feat
+
+
+def _forward_kernel(counts_ref, data_ref, img_ref, t_ref, last_ref,
+                    *, C: int, F: int, K: int, gx: int):
+    pixx, pixy = _pixel_coords(gx)
+    count = counts_ref[pl.program_id(0)]
+    nchunks = K // C
+
+    def body(carry):
+        c, log_t, stopped_f, accum, last = carry
+        stopped = stopped_f > 0.5
+        alpha, valid, feat = _chunk_quantities(
+            data_ref, c * C, C, F, count, pixx, pixy)
+
+        la_all = jnp.log1p(-jnp.where(valid, alpha, 0.0))
+        cum = _cumsum0(la_all)
+        excl = cum - la_all
+        t_before = jnp.exp(log_t + excl)
+
+        trigger = valid & (t_before * (1.0 - alpha) < T_STOP)
+        trig_cum = _cumsum0(trigger.astype(jnp.float32))
+        stopped_before = stopped | (
+            (trig_cum - trigger.astype(jnp.float32)) > 0.5)
+        applied = valid & ~stopped_before & ~trigger
+
+        la = jnp.log1p(-jnp.where(applied, alpha, 0.0))
+        cum_a = _cumsum0(la)
+        t_before_a = jnp.exp(log_t + cum_a - la)
+        w = jnp.where(applied, alpha * t_before_a, 0.0)   # [C, P2]
+
+        accum = accum + jax.lax.dot_general(
+            w, feat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [P2, F]
+
+        log_t = log_t + jnp.sum(la, axis=0)[None, :]
+        stopped = stopped | jnp.any(trigger & ~stopped_before, axis=0)
+        k_idx = c * C + jax.lax.broadcasted_iota(jnp.int32, (C, P2), 0)
+        contrib = jnp.max(jnp.where(applied, k_idx + 1, 0), axis=0)
+        last = jnp.maximum(last, contrib[None, :])
+        return c + 1, log_t, stopped.astype(jnp.float32), accum, last
+
+    def cond(carry):
+        c = carry[0]
+        stopped_f = carry[2]
+        return (c * C < count) & (c < nchunks) & (jnp.min(stopped_f) < 0.5)
+
+    init = (jnp.int32(0),
+            jnp.zeros((1, P2), jnp.float32),
+            jnp.zeros((1, P2), jnp.float32),
+            jnp.zeros((P2, F), jnp.float32),
+            jnp.zeros((1, P2), jnp.int32))
+    _, log_t, _, accum, last = jax.lax.while_loop(cond, body, init)
+
+    img_ref[0] = accum
+    t_ref[0] = jnp.exp(log_t)
+    last_ref[0] = last
+
+
+def _backward_kernel(counts_ref, data_ref, gimg_ref, gt_ref,
+                     gdata_ref, ckpt_t_ref, ckpt_s_ref,
+                     *, C: int, F: int, K: int, gx: int):
+    pixx, pixy = _pixel_coords(gx)
+    count = counts_ref[pl.program_id(0)]
+    nchunks = K // C
+    g_accum = gimg_ref[0]                               # [P2, F]
+
+    # ---- forward sweep: store per-chunk carry checkpoints ----
+    def fbody(carry):
+        c, log_t, stopped_f = carry
+        stopped = stopped_f > 0.5
+        ckpt_t_ref[c] = log_t[0]
+        ckpt_s_ref[c] = stopped_f[0].astype(jnp.int32)
+        alpha, valid, _ = _chunk_quantities(
+            data_ref, c * C, C, F, count, pixx, pixy)
+        la_all = jnp.log1p(-jnp.where(valid, alpha, 0.0))
+        cum = _cumsum0(la_all)
+        t_before = jnp.exp(log_t + cum - la_all)
+        trigger = valid & (t_before * (1.0 - alpha) < T_STOP)
+        trig_cum = _cumsum0(trigger.astype(jnp.float32))
+        stopped_before = stopped | (
+            (trig_cum - trigger.astype(jnp.float32)) > 0.5)
+        applied = valid & ~stopped_before & ~trigger
+        la = jnp.log1p(-jnp.where(applied, alpha, 0.0))
+        log_t = log_t + jnp.sum(la, axis=0)[None, :]
+        stopped = stopped | jnp.any(trigger & ~stopped_before, axis=0)
+        return c + 1, log_t, stopped.astype(jnp.float32)
+
+    def fcond(carry):
+        c = carry[0]
+        stopped_f = carry[2]
+        return (c * C < count) & (c < nchunks) & (jnp.min(stopped_f) < 0.5)
+
+    init = (jnp.int32(0), jnp.zeros((1, P2), jnp.float32),
+            jnp.zeros((1, P2), jnp.float32))
+    n_done, log_t_final, _ = jax.lax.while_loop(fcond, fbody, init)
+
+    # final_t gradient enters through log_t of the last processed chunk
+    g_log_t0 = gt_ref[0] * jnp.exp(log_t_final)          # [1, P2]
+
+    gdata_ref[0] = jnp.zeros((K, 6 + F), jnp.float32)
+
+    # ---- reverse sweep ----
+    def bbody(i, g_log_t):
+        c = n_done - 1 - i
+        log_t = ckpt_t_ref[c][None, :]
+        stopped = ckpt_s_ref[c][None, :] > 0
+
+        chunk_d = data_ref[0, pl.ds(c * C, C), :]
+        xs = chunk_d[:, 0:1]
+        ys = chunk_d[:, 1:2]
+        ca = chunk_d[:, 2:3]
+        cb = chunk_d[:, 3:4]
+        cc = chunk_d[:, 4:5]
+        op = chunk_d[:, 5:6]
+        feat = chunk_d[:, 6:6 + F]
+
+        dx = xs - pixx
+        dy = ys - pixy
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        raw_alpha = op * jnp.exp(power)
+        alpha = jnp.minimum(ALPHA_MAX, raw_alpha)
+        k_ids = c * C + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+        valid = (k_ids < count) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+
+        la_all = jnp.log1p(-jnp.where(valid, alpha, 0.0))
+        cum = _cumsum0(la_all)
+        t_before0 = jnp.exp(log_t + cum - la_all)
+        trigger = valid & (t_before0 * (1.0 - alpha) < T_STOP)
+        trig_cum = _cumsum0(trigger.astype(jnp.float32))
+        stopped_before = stopped | (
+            (trig_cum - trigger.astype(jnp.float32)) > 0.5)
+        applied = valid & ~stopped_before & ~trigger
+
+        ea = jnp.where(applied, alpha, 0.0)
+        la = jnp.log1p(-ea)
+        cum_a = _cumsum0(la)
+        t_before = jnp.exp(log_t + cum_a - la)
+        w = jnp.where(applied, alpha * t_before, 0.0)
+
+        # dL/dw and dL/dfeat via two MXU matmuls
+        g_w = jax.lax.dot_general(
+            feat, g_accum, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [C, P2]
+        g_feat = jax.lax.dot_general(
+            w, g_accum, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [C, F]
+
+        # suffix sums: G_k = sum_{m>k} g_w_m w_m + g_log_t (carry)
+        gww = g_w * w
+        total = jnp.sum(gww, axis=0, keepdims=True)
+        suffix = total - _cumsum0(gww)                      # strictly m>k
+        G = suffix + g_log_t                                # [C, P2]
+
+        g_alpha = jnp.where(applied,
+                            g_w * t_before - G / (1.0 - ea), 0.0)
+        # alpha = min(0.99, op * exp(power)) — gate the min
+        open_gate = (raw_alpha < ALPHA_MAX) & applied
+        g_raw = jnp.where(open_gate, g_alpha, 0.0)
+        g_op_pix = g_raw * jnp.exp(power)                   # [C, P2]
+        g_power = g_raw * raw_alpha
+        g_ca = jnp.sum(g_power * (-0.5 * dx * dx), axis=1, keepdims=True)
+        g_cc = jnp.sum(g_power * (-0.5 * dy * dy), axis=1, keepdims=True)
+        g_cb = jnp.sum(g_power * (-dx * dy), axis=1, keepdims=True)
+        g_dx = g_power * (-(ca * dx + cb * dy))
+        g_dy = g_power * (-(cc * dy + cb * dx))
+        g_xs = jnp.sum(g_dx, axis=1, keepdims=True)
+        g_ys = jnp.sum(g_dy, axis=1, keepdims=True)
+        g_op = jnp.sum(g_op_pix, axis=1, keepdims=True)
+
+        g_chunk = jnp.concatenate(
+            [g_xs, g_ys, g_ca, g_cb, g_cc, g_op, g_feat], axis=1)
+        gdata_ref[0, pl.ds(c * C, C), :] = g_chunk
+
+        # propagate to earlier chunks: d logT_in touches every term
+        g_log_t_new = jnp.sum(gww, axis=0)[None, :] + g_log_t
+        return g_log_t_new
+
+    jax.lax.fori_loop(0, n_done, bbody, g_log_t0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _composite_core(data, counts, grid, chunk, F):
+    return _core_fwd_impl(data, counts, grid, chunk, F)
+
+
+def _core_fwd_impl(data, counts, grid, chunk, F):
+    gx, gy = grid
+    T, K, D = data.shape
+    kern = functools.partial(_forward_kernel, C=chunk, F=F, K=K, gx=gx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, K, D), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P2, F), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    img, final_t, last = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, P2, F), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P2), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P2), jnp.int32),
+        ],
+    )(counts, data)
+    return img, final_t.reshape(T, P2), last.reshape(T, P2)
+
+
+def _core_fwd(data, counts, grid, chunk, F):
+    out = _core_fwd_impl(data, counts, grid, chunk, F)
+    return out, (data, counts)
+
+
+def _core_bwd(grid, chunk, F, res, cotangents):
+    data, counts = res
+    g_img, g_t, _ = cotangents
+    gx, gy = grid
+    T, K, D = data.shape
+    nchunks = K // chunk
+    kern = functools.partial(_backward_kernel, C=chunk, F=F, K=K, gx=gx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, K, D), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P2, F), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, K, D), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((nchunks, P2), jnp.float32),
+            pltpu.VMEM((nchunks, P2), jnp.int32),
+        ],
+    )
+    g_data = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, K, D), jnp.float32),
+    )(counts, data, g_img, g_t.reshape(T, 1, P2))
+    return g_data, None
+
+
+_composite_core.defvjp(_core_fwd, _core_bwd)
+
+
+def composite_pallas(
+    bins: TileBins,
+    xy: jnp.ndarray,
+    conic: jnp.ndarray,
+    opacity: jnp.ndarray,
+    feats: jnp.ndarray,
+    grid: tuple[int, int],
+    chunk: int = 32,
+) -> CompositeOutput:
+    """Pallas-accelerated `composite` (same signature and semantics)."""
+    gx, gy = grid
+    T, K = bins.idx.shape
+    F = feats.shape[-1]
+    assert K % chunk == 0, (K, chunk)
+
+    data = jnp.concatenate([
+        xy[bins.idx],                     # [T, K, 2]
+        conic[bins.idx],                  # [T, K, 3]
+        opacity[bins.idx][..., None],     # [T, K, 1]
+        feats[bins.idx],                  # [T, K, F]
+    ], axis=-1)
+
+    img, final_t, last = _composite_core(
+        data, bins.counts, grid, chunk, F)
+
+    def untile(x):
+        extra = x.shape[2:]
+        x = x.reshape(gy, gx, TILE, TILE, *extra)
+        x = jnp.moveaxis(x, 2, 1)
+        return x.reshape(gy * TILE, gx * TILE, *extra)
+
+    return CompositeOutput(
+        image=untile(img),
+        final_t=untile(final_t),
+        n_contrib=untile(last),
+    )

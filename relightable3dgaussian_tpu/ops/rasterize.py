@@ -36,6 +36,9 @@ class RasterizeConfig:
     # has this axis): each member composites T/tile_shards tiles.
     tile_axis: str | None = None
     tile_shards: int = 1
+    # Compositor backend: "pallas" (TPU kernel, ops.composite_pallas),
+    # "jnp" (XLA scan twin), or "auto" (pallas on TPU, jnp elsewhere).
+    backend: str = "auto"
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -117,10 +120,21 @@ def rasterize(
         parts.append(extra_features)
     feats = jnp.concatenate(parts, axis=-1)
 
-    out = comp.composite(
-        bins, proj.xy, proj.conic, proj.opacity, feats,
-        cfg.grid, chunk=cfg.chunk,
-        tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if (
+            jax.default_backend() == "tpu" and cfg.tile_axis is None
+        ) else "jnp"
+    if backend == "pallas":
+        from . import composite_pallas as cpal
+        out = cpal.composite_pallas(
+            bins, proj.xy, proj.conic, proj.opacity, feats,
+            cfg.grid, chunk=cfg.chunk)
+    else:
+        out = comp.composite(
+            bins, proj.xy, proj.conic, proj.opacity, feats,
+            cfg.grid, chunk=cfg.chunk,
+            tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)
 
     img = out.image[: cfg.height, : cfg.width]
     final_t = out.final_t[: cfg.height, : cfg.width]

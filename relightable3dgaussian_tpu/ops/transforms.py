@@ -124,6 +124,51 @@ def ewa_project_cov(
     return jnp.stack([a, b, c], -1)
 
 
+def rotmat_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix → unit quaternion (w, x, y, z).  [..., 3, 3] → [..., 4].
+
+    Branch-free Shepperd-style selection of the numerically best of the
+    four candidate formulations (reference `rotation_to_quaternion`,
+    `utils/general_utils.py`).
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    # four candidates (w-major, x-major, y-major, z-major)
+    sw = jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12)) * 2.0
+    qw = jnp.stack([sw / 4, (m21 - m12) / sw, (m02 - m20) / sw,
+                    (m10 - m01) / sw], -1)
+    sx = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 1e-12)) * 2.0
+    qx = jnp.stack([(m21 - m12) / sx, sx / 4, (m01 + m10) / sx,
+                    (m02 + m20) / sx], -1)
+    sy = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 1e-12)) * 2.0
+    qy = jnp.stack([(m02 - m20) / sy, (m01 + m10) / sy, sy / 4,
+                    (m12 + m21) / sy], -1)
+    sz = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 1e-12)) * 2.0
+    qz = jnp.stack([(m10 - m01) / sz, (m02 + m20) / sz, (m12 + m21) / sz,
+                    sz / 4], -1)
+
+    use_w = (tr > 0.0)[..., None]
+    use_x = ((m00 >= m11) & (m00 >= m22))[..., None]
+    use_y = (m11 >= m22)[..., None]
+    q = jnp.where(use_w, qw, jnp.where(use_x, qx, jnp.where(use_y, qy, qz)))
+    return normalize(q)
+
+
+def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product (w, x, y, z) — rotation a then applied to b."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], -1)
+
+
 # ---------------------------------------------------------------------------
 # Camera matrices (numpy — built once per camera on the host).
 # ---------------------------------------------------------------------------

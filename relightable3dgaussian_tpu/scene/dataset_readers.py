@@ -139,7 +139,7 @@ def read_cameras_from_transforms(
 def read_nerf_synthetic(path: str, white_background: bool = False,
                         eval_split: bool = True, extension: str = ".png",
                         max_cameras: int | None = None,
-                        rng_seed: int = 0) -> SceneInfo:
+                        rng_seed: int = 0, **_: Any) -> SceneInfo:
     """NeRF-synthetic loader (`readNerfSyntheticInfo`,
     `dataset_readers.py:366-403`): 100k random init points in [-1.3, 1.3]³
     when no points3d.ply exists."""
@@ -180,7 +180,7 @@ def read_nerf_synthetic(path: str, white_background: bool = False,
 
 def read_colmap_scene(path: str, images_dir: str = "images",
                       eval_split: bool = False, llffhold: int = 8,
-                      max_cameras: int | None = None) -> SceneInfo:
+                      max_cameras: int | None = None, **_: Any) -> SceneInfo:
     """COLMAP loader (`readColmapSceneInfo`, `dataset_readers.py:252-302`).
 
     Reads sparse/0 binary (or text) model; eval split = every llffhold-th
@@ -252,7 +252,7 @@ def read_colmap_scene(path: str, images_dir: str = "images",
 # ---------------------------------------------------------------------------
 
 def read_neilf_scene(path: str, eval_split: bool = True,
-                     max_cameras: int | None = None) -> SceneInfo:
+                     max_cameras: int | None = None, **_: Any) -> SceneInfo:
     """NeILF-format loader (`readNeILFInfo`, `dataset_readers.py:406-544`):
     sfm_scene.json with per-view K/W2C, images in inputs/images, optional
     bbox rescale, every 8th view as test."""

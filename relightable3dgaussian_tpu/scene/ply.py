@@ -88,7 +88,8 @@ def write_ply(path: str, props: dict[str, np.ndarray]) -> None:
     buf.write(b"ply\nformat binary_little_endian 1.0\n")
     buf.write(f"element vertex {n}\n".encode())
     for k in names:
-        tname = _INV_DTYPES[rec.dtype[k].str.replace("=", "<")]
+        tname = _INV_DTYPES[
+            rec.dtype[k].str.replace("=", "<").replace("|", "")]
         buf.write(f"property {tname} {k}\n".encode())
     buf.write(b"end_header\n")
     buf.write(rec.tobytes())

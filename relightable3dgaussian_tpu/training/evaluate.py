@@ -1,0 +1,105 @@
+"""Evaluation: per-view renders + PSNR / SSIM / LPIPS metrics.
+
+Analogue of the reference eval loop (`train.py:336-400`) which writes
+per-view images and an `eval.txt` with the three metrics.  LPIPS uses
+torchmetrics-style VGG features via the local torch (cpu) install when
+available and is skipped otherwise (the reference vendors lpipsPyTorch).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import losses
+
+
+def _to_uint8(img: np.ndarray) -> np.ndarray:
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def save_image(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(_to_uint8(img)).save(path)
+
+
+_lpips_model = None
+
+
+def lpips(a: np.ndarray, b: np.ndarray) -> float | None:
+    """LPIPS(vgg) on [H, W, 3] images in [0,1]; None if torch/vgg
+    weights are unavailable (zero-egress environments)."""
+    global _lpips_model
+    try:
+        import torch
+        if _lpips_model is None:
+            from torchvision.models import vgg16
+            _lpips_model = vgg16(weights="DEFAULT").features.eval()
+        # layered L2 distance in VGG feature space (unit-normalized), the
+        # same structure as lpipsPyTorch (`lpipsPyTorch/modules/lpips.py`)
+        def feats(x):
+            t = torch.tensor(x.transpose(2, 0, 1))[None].float()
+            mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+            std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+            t = (t - mean) / std
+            out = []
+            for i, layer in enumerate(_lpips_model):
+                t = layer(t)
+                if i in (3, 8, 15, 22, 29):
+                    f = t / (t.norm(dim=1, keepdim=True) + 1e-10)
+                    out.append(f)
+            return out
+        with __import__("torch").no_grad():
+            fa, fb = feats(a), feats(b)
+        d = sum(float(((x - y) ** 2).mean()) for x, y in zip(fa, fb))
+        return d
+    except Exception:
+        return None
+
+
+def evaluate(
+    render_fn: Callable[[Any], dict[str, jnp.ndarray]],
+    cameras: list,
+    out_dir: str | None = None,
+    save_images: bool = False,
+    compute_lpips: bool = False,
+    image_key: str = "render",
+) -> dict[str, float]:
+    """Render every camera, compare to ground truth, aggregate metrics.
+
+    Args:
+      render_fn: camera -> results dict (whatever pipeline).
+      cameras: list of `scene.Camera` with .image ground truth.
+      image_key: which results entry is the prediction ("render"/"pbr").
+
+    Returns:
+      {"psnr": ..., "ssim": ..., "lpips": ...(optional), "n": count}
+    """
+    psnrs, ssims, lpipss = [], [], []
+    for i, cam in enumerate(cameras):
+        results = render_fn(cam)
+        pred = np.asarray(results[image_key])
+        gt = np.asarray(cam.image)
+        psnrs.append(float(losses.psnr(jnp.asarray(pred), jnp.asarray(gt))))
+        ssims.append(float(losses.ssim(jnp.asarray(pred), jnp.asarray(gt))))
+        if compute_lpips:
+            d = lpips(pred, gt)
+            if d is not None:
+                lpipss.append(d)
+        if save_images and out_dir:
+            save_image(os.path.join(out_dir, f"{i:05d}_pred.png"), pred)
+            save_image(os.path.join(out_dir, f"{i:05d}_gt.png"), gt)
+
+    out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+           "n": len(cameras)}
+    if lpipss:
+        out["lpips"] = float(np.mean(lpipss))
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "eval.txt"), "w") as f:
+            for k, v in out.items():
+                f.write(f"{k}: {v}\n")
+    return out

@@ -19,3 +19,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compile cache — the suite is dominated by XLA compiles.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,102 @@
+"""Pallas compositor vs the jnp twin: forward values and full gradients.
+
+Runs the kernel in interpreter mode (CPU CI); the compiled path is
+exercised on real TPU by bench.py.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from relightable3dgaussian_tpu.ops import binning, projection
+from relightable3dgaussian_tpu.ops import composite as comp
+from relightable3dgaussian_tpu.ops import composite_pallas as cpal
+from relightable3dgaussian_tpu.ops import transforms as tf
+
+W, H = 64, 48
+
+
+def make_proj(P=80, seed=0, opaque=False):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform([-1.2, -1.0, 2.0], [1.2, 1.0, 6.0], (P, 3))
+    scales = rng.uniform(0.02, 0.25, (P, 3))
+    quats = rng.normal(size=(P, 4))
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    ops_ = rng.uniform(0.9, 0.999, P) if opaque else rng.uniform(0.05, 0.95, P)
+    feats = rng.uniform(0, 1, (P, 6))
+    w2c = np.eye(4, dtype=np.float32)
+    fovx, fovy = 0.9, 0.7
+    proj_m = tf.projection_matrix(0.01, 100.0, fovx, fovy)
+    focal = np.array([tf.fov2focal(fovx, W), tf.fov2focal(fovy, H)],
+                     np.float32)
+    tanf = np.array([np.tan(fovx / 2), np.tan(fovy / 2)], np.float32)
+    proj = projection.preprocess(
+        jnp.asarray(means.astype(np.float32)),
+        jnp.asarray(scales.astype(np.float32)),
+        jnp.asarray(quats.astype(np.float32)),
+        jnp.asarray(ops_.astype(np.float32)),
+        jnp.ones(P, bool), jnp.asarray(w2c),
+        jnp.asarray((proj_m @ w2c).astype(np.float32)),
+        jnp.zeros(3), W, H, focal[0], focal[1], tanf[0], tanf[1],
+        colors_precomp=jnp.zeros((P, 3)))
+    grid = projection.grid_size(W, H)
+    bins = binning.bin_splats(proj, grid, 32, 64)
+    return proj, bins, grid, jnp.asarray(feats.astype(np.float32))
+
+
+@pytest.mark.parametrize("opaque", [False, True])
+def test_forward_matches_jnp(opaque):
+    proj, bins, grid, feats = make_proj(opaque=opaque, seed=3)
+    ref = comp.composite(bins, proj.xy, proj.conic, proj.opacity, feats,
+                         grid, chunk=16)
+    with pltpu.force_tpu_interpret_mode():
+        got = cpal.composite_pallas(bins, proj.xy, proj.conic,
+                                    proj.opacity, feats, grid, chunk=16)
+    np.testing.assert_allclose(np.asarray(got.image),
+                               np.asarray(ref.image), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.final_t),
+                               np.asarray(ref.final_t), atol=1e-5,
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.n_contrib),
+                                  np.asarray(ref.n_contrib))
+
+
+def test_gradients_match_jnp():
+    proj, bins, grid, feats = make_proj(P=40, seed=7)
+    tgt = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (grid[1] * 16, grid[0] * 16, 6)).astype(np.float32))
+
+    def loss_ref(xy, conic, op, feats):
+        out = comp.composite(bins, xy, conic, op, feats, grid, chunk=16)
+        return (jnp.sum((out.image - tgt) ** 2)
+                + jnp.sum(out.final_t ** 2) * 0.1)
+
+    def loss_pal(xy, conic, op, feats):
+        out = cpal.composite_pallas(bins, xy, conic, op, feats, grid,
+                                    chunk=16)
+        return (jnp.sum((out.image - tgt) ** 2)
+                + jnp.sum(out.final_t ** 2) * 0.1)
+
+    args = (proj.xy, proj.conic, proj.opacity, feats)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(*args)
+    names = ["xy", "conic", "opacity", "feats"]
+    for n, a, b in zip(names, g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+            err_msg=f"grad mismatch: {n}")
+
+
+def test_empty_tiles():
+    """Tiles with zero splats produce background only."""
+    proj, bins, grid, feats = make_proj(P=4, seed=9)
+    with pltpu.force_tpu_interpret_mode():
+        got = cpal.composite_pallas(bins, proj.xy, proj.conic,
+                                    proj.opacity, feats, grid, chunk=16)
+    empty = np.asarray(bins.counts) == 0
+    t_img = np.asarray(got.final_t)
+    # all-empty tile rows have transmittance exactly 1
+    assert np.isfinite(t_img).all()
+    assert (np.asarray(got.image)[np.isclose(t_img, 1.0)] == 0).all()

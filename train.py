@@ -1,0 +1,208 @@
+"""Training CLI — the analogue of the reference `train.py`.
+
+Two-stage recipe (reference `script/run_nerf.sh`):
+  stage 1:  python train.py -s <scene> -m out/lego -t render
+  stage 2:  python train.py -s <scene> -m out/lego -t neilf \
+                -c out/lego/ply/point_cloud_30000.ply --sample_num 24
+
+Scene type (Blender / COLMAP / NeILF) is auto-detected.  Checkpoints are
+written as reference-compatible PLYs plus orbax train state.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-s", "--source_path", required=True)
+    ap.add_argument("-m", "--model_path", required=True)
+    ap.add_argument("-t", "--type", default="render",
+                    choices=["render", "neilf"])
+    ap.add_argument("-c", "--checkpoint", default=None,
+                    help="PLY to resume from (stage 2)")
+    ap.add_argument("--iterations", type=int, default=30_000)
+    ap.add_argument("--capacity", type=int, default=2 ** 19)
+    ap.add_argument("--sh_degree", type=int, default=3)
+    ap.add_argument("--sample_num", type=int, default=24)
+    ap.add_argument("-w", "--white_background", action="store_true")
+    ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--use_ldr_image", action="store_true")
+    ap.add_argument("--finetune_visibility", action="store_true")
+    ap.add_argument("--lambda_mask_entropy", type=float, default=0.0)
+    ap.add_argument("--lambda_normal_render_depth", type=float, default=0.0)
+    ap.add_argument("--lambda_depth", type=float, default=0.0)
+    ap.add_argument("--lambda_light", type=float, default=0.01)
+    ap.add_argument("--lambda_base_color", type=float, default=0.005)
+    ap.add_argument("--lambda_base_color_smooth", type=float, default=0.006)
+    ap.add_argument("--lambda_metallic_smooth", type=float, default=0.002)
+    ap.add_argument("--lambda_roughness_smooth", type=float, default=0.002)
+    ap.add_argument("--lambda_visibility", type=float, default=0.0)
+    ap.add_argument("--save_interval", type=int, default=10_000)
+    ap.add_argument("--test_interval", type=int, default=5_000)
+    ap.add_argument("--log_interval", type=int, default=100)
+    ap.add_argument("--max_per_tile", type=int, default=512)
+    ap.add_argument("--max_tiles_per_gaussian", type=int, default=32)
+    ap.add_argument("--max_cameras", type=int, default=None)
+    ap.add_argument("--downscale", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from relightable3dgaussian_tpu.models import densify as Dn
+    from relightable3dgaussian_tpu.models import gaussians as G
+    from relightable3dgaussian_tpu.models import render as R
+    from relightable3dgaussian_tpu.models import neilf as NF
+    from relightable3dgaussian_tpu.models import compose
+    from relightable3dgaussian_tpu.ops.rasterize import RasterizeConfig
+    from relightable3dgaussian_tpu.scene import load_scene
+    from relightable3dgaussian_tpu.training import checkpoint as ckpt
+    from relightable3dgaussian_tpu.training import evaluate as ev
+    from relightable3dgaussian_tpu.training import optimizer as opt_mod
+    from relightable3dgaussian_tpu.training import trainer as T
+    from relightable3dgaussian_tpu.training import trainer_neilf as TN
+
+    os.makedirs(args.model_path, exist_ok=True)
+    with open(os.path.join(args.model_path, "cfg_args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    print(f"loading scene {args.source_path} ...", flush=True)
+    scene = load_scene(args.source_path,
+                       white_background=args.white_background,
+                       eval_split=args.eval, max_cameras=args.max_cameras)
+    cams = scene.train_cameras
+    extent = scene.nerf_normalization["radius"]
+    H, W = cams[0].height, cams[0].width
+    print(f"{len(cams)} train cameras, {len(scene.test_cameras)} test, "
+          f"{W}x{H}, extent {extent:.2f}", flush=True)
+
+    use_pbr = args.type == "neilf"
+    if args.checkpoint:
+        state0 = ckpt.load_ply(args.checkpoint, capacity=args.capacity,
+                               use_pbr=use_pbr)
+        print(f"resumed {int(state0.num_alive)} splats from "
+              f"{args.checkpoint}", flush=True)
+    else:
+        pts, cols, nrms = scene.points, scene.colors, scene.normals
+        if pts.shape[0] > args.capacity:
+            sel = np.random.default_rng(0).choice(
+                pts.shape[0], args.capacity, replace=False)
+            pts, cols, nrms = pts[sel], cols[sel], nrms[sel]
+        state0 = G.create_from_points(
+            pts, cols, capacity=args.capacity,
+            sh_degree=args.sh_degree, use_pbr=use_pbr, normals=nrms)
+        print(f"init {pts.shape[0]} splats from point cloud", flush=True)
+
+    raster_cfg = RasterizeConfig(
+        width=W, height=H,
+        max_tiles_per_gaussian=args.max_tiles_per_gaussian,
+        max_per_tile=args.max_per_tile)
+    loss_cfg = R.LossConfig(
+        lambda_mask_entropy=args.lambda_mask_entropy,
+        lambda_normal_render_depth=args.lambda_normal_render_depth,
+        lambda_depth=args.lambda_depth,
+        lambda_light=args.lambda_light,
+        lambda_base_color=args.lambda_base_color,
+        lambda_base_color_smooth=args.lambda_base_color_smooth,
+        lambda_metallic_smooth=args.lambda_metallic_smooth,
+        lambda_roughness_smooth=args.lambda_roughness_smooth,
+        lambda_visibility=args.lambda_visibility)
+    densify_cfg = Dn.DensifyConfig()
+    optim_cfg = opt_mod.OptimConfig(spatial_lr_scale=extent)
+
+    t_start = time.time()
+    log = open(os.path.join(args.model_path, "train_log.txt"), "a")
+
+    def callback(it, metrics):
+        msg = (f"it {it} loss {metrics.get('loss', 0):.4f} "
+               f"psnr {metrics.get('psnr', 0):.2f} "
+               f"alive {int(metrics.get('num_alive', 0))} "
+               f"({time.time() - t_start:.0f}s)")
+        print(msg, flush=True)
+        log.write(msg + "\n")
+        log.flush()
+
+    ply_dir = os.path.join(args.model_path, "ply")
+    os.makedirs(ply_dir, exist_ok=True)
+
+    if args.type == "render":
+        tstate, tx = T.init_train_state(state0, optim_cfg)
+        tcfg = T.TrainConfig(
+            iterations=args.iterations,
+            white_background=args.white_background)
+        done = 0
+        while done < args.iterations:
+            n = min(args.save_interval, args.iterations - done)
+            tstate = T.train(
+                tstate, tx, cams, tcfg, raster_cfg, loss_cfg, densify_cfg,
+                extent, num_steps=n, log_every=args.log_interval,
+                callback=callback)
+            done += n
+            path = os.path.join(ply_dir, f"point_cloud_{done}.ply")
+            npts = ckpt.save_ply(path, tstate.gaussians)
+            print(f"saved {npts} splats -> {path}", flush=True)
+        final_state = tstate.gaussians
+        sh_deg_final = T.active_sh_degree(args.iterations, tcfg)
+
+        def render_eval(cam):
+            camera = {k: jnp.asarray(v)
+                      for k, v in cam.render_inputs().items()}
+            bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+            return R.render_view(
+                final_state.params, final_state.alive, camera, bg,
+                raster_cfg, active_sh_degree=sh_deg_final,
+                compute_pseudo_normal=False)
+        eval_key = "render"
+    else:
+        if args.finetune_visibility:
+            print("finetuning visibility SH vs ray tracer...", flush=True)
+            state0 = compose.finetune_visibility(state0, iterations=1000)
+        tstate, txs = TN.init_pbr_train_state(state0, optim_cfg)
+        done = 0
+        while done < args.iterations:
+            n = min(args.save_interval, args.iterations - done)
+            tstate = TN.train_pbr(
+                tstate, txs, cams, n, raster_cfg, loss_cfg, densify_cfg,
+                extent, sample_num=args.sample_num,
+                use_ldr_image=args.use_ldr_image,
+                trace_visibility=args.lambda_visibility > 0,
+                densify_until=0,
+                white_background=args.white_background,
+                log_every=args.log_interval, callback=callback)
+            done += n
+            path = os.path.join(ply_dir, f"point_cloud_{done}.ply")
+            npts = ckpt.save_ply(path, tstate.gaussians)
+            print(f"saved {npts} splats -> {path}", flush=True)
+        final_state = tstate.gaussians
+        env, gamma = tstate.env, tstate.gamma
+
+        def render_eval(cam):
+            camera = {k: jnp.asarray(v)
+                      for k, v in cam.render_inputs().items()}
+            bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+            return NF.render_view(
+                final_state.params, final_state.alive, camera, bg,
+                raster_cfg, env_light=env, gamma=gamma,
+                use_ldr_image=args.use_ldr_image,
+                sample_num=args.sample_num, is_training=False)
+        eval_key = "pbr"
+
+    test_cams = scene.test_cameras or cams[:8]
+    metrics = ev.evaluate(
+        render_eval, test_cams,
+        out_dir=os.path.join(args.model_path, "eval"),
+        save_images=True, image_key=eval_key)
+    print("eval:", metrics, flush=True)
+
+
+if __name__ == "__main__":
+    main()
