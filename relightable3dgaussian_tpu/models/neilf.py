@@ -260,7 +260,8 @@ def calculate_loss(
     if cfg.lambda_visibility > 0 and trace_visibility_fn is not None \
             and params is not None:
         lv = visibility_supervision_loss(
-            params, alive, trace_visibility_fn, rng)
+            params, alive, trace_visibility_fn, rng,
+            num_rays=cfg.visibility_rays)
         tb["loss_visibility"] = lv
         loss = loss + cfg.lambda_visibility * lv
 

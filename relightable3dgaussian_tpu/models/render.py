@@ -39,6 +39,7 @@ class LossConfig:
     lambda_roughness_smooth: float = 0.002
     lambda_visibility: float = 0.1
     lambda_light_smooth: float = 0.0
+    visibility_rays: int = 10_000   # rays/iter for the visibility loss
 
 
 def render_view(

@@ -168,6 +168,8 @@ def make_visibility_tracer(params_means, scales, rotations, opacities,
                            normals, alive=None, chunk: int = 65_536):
     """Bind splat data into an (rays_o, rays_d) -> [R] visibility fn —
     the `trace_visibility_fn` hook of `models.neilf.calculate_loss`."""
+    P = params_means.shape[0]
+    chunk = min(chunk, -(-P // 1024) * 1024)
     sym6 = inverse_covariance(scales, rotations)
 
     def fn(rays_o, rays_d):

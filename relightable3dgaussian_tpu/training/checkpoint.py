@@ -77,12 +77,22 @@ def load_ply(path: str, capacity: int | None = None,
         max_radii2d=jnp.zeros(capacity, jnp.int32))
 
 
+def _mask_empty(tree: Any) -> Any:
+    """Replace zero-size leaves (non-PBR placeholder attrs) with a tiny
+    sentinel — orbax refuses to serialize empty arrays."""
+    def fix(x):
+        if hasattr(x, "size") and x.size == 0:
+            return np.zeros(1, np.float32)
+        return x
+    return jax.tree.map(fix, tree)
+
+
 def save_train_state(path: str, train_state: Any) -> None:
     """Persist a full TrainState (params + optimizer moments + step)."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.device_get(train_state), force=True)
+    ckptr.save(path, _mask_empty(jax.device_get(train_state)), force=True)
 
 
 def load_train_state(path: str, template: Any) -> Any:
@@ -94,5 +104,10 @@ def load_train_state(path: str, template: Any) -> Any:
     """
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(
-        os.path.abspath(path), item=jax.device_get(template))
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        item=_mask_empty(jax.device_get(template)))
+    # put the template's zero-size leaves back
+    return jax.tree.map(
+        lambda t, r: t if hasattr(t, "size") and t.size == 0 else r,
+        jax.device_get(template), restored)

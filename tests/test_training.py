@@ -80,7 +80,7 @@ def test_pbr_train_step_runs_and_improves():
     camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
     gt = {"image": jnp.asarray(cam.image)}
     loss_cfg = R.LossConfig(lambda_pbr=1.0, lambda_light=0.01,
-                            lambda_visibility=0.1)
+                            lambda_visibility=0.1, visibility_rays=256)
     key = jax.random.PRNGKey(0)
     losses = []
     for i in range(12):

@@ -1,0 +1,227 @@
+"""Interactive viewer — the TPU-side substitute for the reference
+dearpygui GUI (`gui.py`).
+
+The reference couples rendering and UI in one process; on TPU the
+idiomatic split is a jit'd render server and any thin client.  This
+serves frames over HTTP (`GET /render?theta=..&phi=..&radius=..&mode=..`
+returns a PNG; `GET /` returns a minimal pan/orbit HTML client;
+`GET /modes` lists the available result channels), with per-frame
+render-time reporting (the reference's FPS counter, `gui.py:193-220`)
+and the shader animation clock (time/dt fed to shader stages).
+
+Offline: `--turntable N` renders N orbit frames to --output and exits
+(interactive-rate measurement without a client).
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import time
+
+
+def orbit_camera(theta: float, phi: float, radius: float,
+                 width: int, height: int, fovx: float = 0.9):
+    """OrbitCamera analogue (`gui.py:32-95`)."""
+    import numpy as np
+    from relightable3dgaussian_tpu.ops import transforms as tf
+    from relightable3dgaussian_tpu.scene.cameras import make_camera
+
+    c = np.array([
+        radius * np.cos(phi) * np.cos(theta),
+        radius * np.sin(phi),
+        radius * np.cos(phi) * np.sin(theta),
+    ])
+    fwd = -c / np.linalg.norm(c)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up)
+    right /= max(np.linalg.norm(right), 1e-9)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=1)
+    fovy = tf.focal2fov(tf.fov2focal(fovx, width), height)
+    return make_camera(uid=0, R=R, t=-R.T @ c, fovx=fovx, fovy=fovy,
+                       width=width, height=height)
+
+
+_CLIENT_HTML = """<!doctype html><html><body style="margin:0;background:#111">
+<img id=v width=100% style="image-rendering:pixelated">
+<div id=s style="color:#0f0;font:12px monospace;position:fixed;top:4px;left:4px"></div>
+<script>
+let th=0.5, ph=0.3, r=2.5, drag=false, lx, ly, mode="render", busy=false;
+async function frame(){ if(busy) return; busy=true;
+ const t0=performance.now();
+ const res=await fetch(`/render?theta=${th}&phi=${ph}&radius=${r}&mode=${mode}`);
+ const blob=await res.blob(); v.src=URL.createObjectURL(blob);
+ s.textContent=`${(performance.now()-t0).toFixed(0)} ms  θ=${th.toFixed(2)} φ=${ph.toFixed(2)} r=${r.toFixed(2)} [${mode}] (keys: m=mode, wheel=zoom)`;
+ busy=false; }
+v.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY};
+window.onmouseup=()=>drag=false;
+window.onmousemove=e=>{if(!drag)return; th+=(e.clientX-lx)*0.01; ph+=(e.clientY-ly)*0.01;
+ ph=Math.max(-1.4,Math.min(1.4,ph)); lx=e.clientX; ly=e.clientY; frame();};
+window.onwheel=e=>{r*=e.deltaY>0?1.1:0.9; frame();};
+window.onkeydown=async e=>{ if(e.key=='m'){ const ms=await (await fetch('/modes')).json();
+ mode=ms[(ms.indexOf(mode)+1)%ms.length]; frame(); }};
+frame(); setInterval(frame, 250);
+</script></body></html>"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-p", "--ply", required=True)
+    ap.add_argument("-t", "--type", default="render",
+                    choices=["render", "neilf", "shader"])
+    ap.add_argument("--width", type=int, default=400)
+    ap.add_argument("--height", type=int, default=400)
+    ap.add_argument("--port", type=int, default=8600)
+    ap.add_argument("--sample_num", type=int, default=24)
+    ap.add_argument("--sh_shader", default=None,
+                    help="SH shader name for all splats (shader mode)")
+    ap.add_argument("--splat_shader", default=None)
+    ap.add_argument("--post", default="",
+                    help="comma-separated post passes (shader mode)")
+    ap.add_argument("--turntable", type=int, default=0,
+                    help="render N offline orbit frames and exit")
+    ap.add_argument("--output", default="./turntable")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from relightable3dgaussian_tpu.models import lights as L
+    from relightable3dgaussian_tpu.models import neilf as NF
+    from relightable3dgaussian_tpu.models import render as R
+    from relightable3dgaussian_tpu.models import shadergs
+    from relightable3dgaussian_tpu.models import shaders as S
+    from relightable3dgaussian_tpu.ops.rasterize import RasterizeConfig
+    from relightable3dgaussian_tpu.training import checkpoint as ckpt
+
+    st = ckpt.load_ply(args.ply, use_pbr=args.type == "neilf")
+    print(f"loaded {int(st.num_alive)} splats", flush=True)
+    cfg = RasterizeConfig(width=args.width, height=args.height)
+    bg = jnp.zeros(3)
+    env = L.create_direct_light(3) if args.type == "neilf" else None
+    clock = {"t0": time.time(), "last": 0.0}
+
+    sh_ids = splat_ids = None
+    post = [p for p in args.post.split(",") if p]
+    if args.sh_shader:
+        sh_ids = jnp.full(st.params.capacity,
+                          list(S.SH_SHADERS).index(args.sh_shader),
+                          jnp.int32)
+    if args.splat_shader:
+        splat_ids = jnp.full(st.params.capacity,
+                             list(S.SPLAT_SHADERS).index(args.splat_shader),
+                             jnp.int32)
+
+    def render_frame(cam, mode="render"):
+        camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
+        now = (time.time() - clock["t0"]) * 1000.0
+        dt = now - clock["last"]
+        clock["last"] = now
+        if args.type == "neilf":
+            res = NF.render_view(st.params, st.alive, camera, bg, cfg,
+                                 env_light=env, sample_num=args.sample_num,
+                                 is_training=False)
+        elif args.type == "shader":
+            res = shadergs.render(st.params, st.alive, camera, bg, cfg,
+                                  sh_shader_ids=sh_ids,
+                                  splat_shader_ids=splat_ids,
+                                  post_passes=post, time=now, dt=dt)
+        else:
+            res = R.render_view(st.params, st.alive, camera, bg, cfg,
+                                compute_pseudo_normal=True)
+        img = res.get(mode, res["render"])
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, -1)
+            img = img / max(img.max(), 1e-6)
+        if "normal" in mode:
+            img = img * 0.5 + 0.5
+        return np.clip(img[..., :3], 0, 1), res
+
+    # warm up / compile
+    t0 = time.time()
+    img, res0 = render_frame(orbit_camera(0.5, 0.3, 2.5,
+                                          args.width, args.height))
+    modes = [k for k, v in res0.items()
+             if hasattr(v, "ndim") and v.ndim in (2, 3)
+             and v.shape[:2] == (args.height, args.width)]
+    print(f"first frame (compile): {time.time() - t0:.1f}s; "
+          f"modes: {modes}", flush=True)
+
+    if args.turntable:
+        from relightable3dgaussian_tpu.training.evaluate import save_image
+        os.makedirs(args.output, exist_ok=True)
+        times = []
+        for i in range(args.turntable):
+            t0 = time.time()
+            img, _ = render_frame(orbit_camera(
+                2 * np.pi * i / args.turntable, 0.3, 2.5,
+                args.width, args.height))
+            jax.block_until_ready(img)
+            times.append(time.time() - t0)
+            save_image(os.path.join(args.output, f"frame_{i:04d}.png"), img)
+        fps = 1.0 / float(np.median(times))
+        print(f"turntable: {args.turntable} frames, median "
+              f"{np.median(times) * 1000:.1f} ms/frame = {fps:.1f} fps",
+              flush=True)
+        return
+
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+    from PIL import Image
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path == "/":
+                body = _CLIENT_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if u.path == "/modes":
+                body = json.dumps(modes).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            if u.path != "/render":
+                self.send_response(404)
+                self.end_headers()
+                return
+            q = parse_qs(u.query)
+            get = lambda k, d: float(q.get(k, [d])[0])
+            cam = orbit_camera(get("theta", 0.5), get("phi", 0.3),
+                               get("radius", 2.5), args.width, args.height)
+            mode = q.get("mode", ["render"])[0]
+            t0 = time.time()
+            img, _ = render_frame(cam, mode)
+            ms = (time.time() - t0) * 1000
+            buf = io.BytesIO()
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                buf, format="PNG")
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("X-Render-Ms", f"{ms:.1f}")
+            self.end_headers()
+            self.wfile.write(buf.getvalue())
+
+    srv = HTTPServer(("127.0.0.1", args.port), Handler)
+    print(f"serving on http://127.0.0.1:{args.port}/", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
