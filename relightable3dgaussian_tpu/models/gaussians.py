@@ -138,8 +138,12 @@ def create_from_points(
     K = (sh_degree + 1) ** 2
 
     if init_scale is None:
-        from ..ops.knn import mean_knn_dist2
-        d2 = np.maximum(np.asarray(mean_knn_dist2(jnp.asarray(points))), 1e-7)
+        from .. import native
+        d2 = native.mean_knn_dist2(points)   # C++ threaded path
+        if d2 is None:
+            from ..ops.knn import mean_knn_dist2
+            d2 = np.asarray(mean_knn_dist2(jnp.asarray(points)))
+        d2 = np.maximum(d2, 1e-7)
         init_scale = np.sqrt(d2)
     log_scale = np.log(init_scale)[:, None].repeat(3, axis=1)
 

@@ -18,8 +18,8 @@ from typing import Any
 
 import jax.numpy as jnp
 
-from ..ops import binning, composite as comp, projection
-from ..ops.rasterize import RasterizeConfig
+from ..ops import binning, projection
+from ..ops.rasterize import RasterizeConfig, composite_dispatch
 from ..ops import transforms as tf
 from . import gaussians as G
 from . import shaders as S
@@ -91,8 +91,8 @@ def render(
 
     # --- stage 3: intermediate depth/stencil pre-pass ------------------
     pre_feats = jnp.stack([proj.depth, stencil, jnp.ones_like(stencil)], -1)
-    pre = comp.composite(bins, proj.xy, proj.conic, proj.opacity,
-                         pre_feats, cfg.grid, chunk=cfg.chunk)
+    pre = composite_dispatch(cfg, bins, proj.xy, proj.conic, proj.opacity,
+                             pre_feats)
     depth_img = pre.image[: cfg.height, : cfg.width, 0]
     stencil_img = pre.image[: cfg.height, : cfg.width, 1]
 
@@ -128,8 +128,8 @@ def render(
         jnp.ones_like(stencil)[:, None],  # 7 opacity
         sres["stencil_val"][:, None],    # 8
     ], -1)
-    out = comp.composite(bins, proj.xy, proj.conic, sres["opacity"],
-                         feats, cfg.grid, chunk=cfg.chunk)
+    out = composite_dispatch(cfg, bins, proj.xy, proj.conic,
+                             sres["opacity"], feats)
     img = out.image[: cfg.height, : cfg.width]
     final_t = out.final_t[: cfg.height, : cfg.width]
     render_img = img[..., 0:3] + final_t[..., None] * bg_color

@@ -64,8 +64,13 @@ def bin_splats(
     rw = (proj.rect_max[:, 0] - proj.rect_min[:, 0])[:, None]      # [P, 1]
     tiles = proj.tiles_touched[:, None]                            # [P, 1]
     safe_rw = jnp.maximum(rw, 1)
-    tx = proj.rect_min[:, 0:1] + r % safe_rw
-    ty = proj.rect_min[:, 1:2] + r // safe_rw
+    # r // rw and r % rw via float reciprocal — vectorized int32 division
+    # is very slow on the TPU VPU.  Exact for r < 2^10, rw < 2^10:
+    # (r + 0.5)/rw lies strictly inside (q, q+1).
+    q = jnp.floor((r.astype(jnp.float32) + 0.5)
+                  / safe_rw.astype(jnp.float32)).astype(jnp.int32)
+    tx = proj.rect_min[:, 0:1] + (r - q * safe_rw)
+    ty = proj.rect_min[:, 1:2] + q
     inst_ok = proj.valid[:, None] & (r < tiles)
     tile_id = jnp.where(inst_ok, ty * gx + tx, num_tiles)          # [P, M]
 
@@ -93,11 +98,13 @@ def bin_splats(
     starts = boundaries[:-1]
     counts = boundaries[1:] - starts
 
-    # --- dense [T, K] gather ---
+    # --- dense [T, K] gather (jnp.take: fancy indexing lowers to a far
+    # slower gather on TPU) ---
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     pos = starts[:, None] + slot
     mask = slot < counts[:, None]
-    idx = id_sorted[jnp.clip(pos, 0, tile_flat.shape[0] - 1)]
+    idx = jnp.take(id_sorted, jnp.clip(pos, 0, tile_flat.shape[0] - 1),
+                   axis=0)
     idx = jnp.where(mask, idx, 0)
 
     dropped_tile = jnp.sum(jnp.maximum(counts - K, 0))

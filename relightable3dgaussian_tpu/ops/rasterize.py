@@ -57,6 +57,25 @@ class RasterizeOutput(NamedTuple):
     stats: dict[str, jnp.ndarray]  # binning overflow counters
 
 
+def composite_dispatch(cfg: RasterizeConfig, bins, xy, conic, opacity,
+                       feats):
+    """Route compositing to the Pallas kernel (TPU) or the jnp twin
+    according to `cfg.backend` ("auto" → pallas on TPU unless
+    tile-sharded)."""
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if (
+            jax.default_backend() == "tpu" and cfg.tile_axis is None
+        ) else "jnp"
+    if backend == "pallas":
+        from . import composite_pallas as cpal
+        return cpal.composite_pallas(
+            bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk)
+    return comp.composite(
+        bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk,
+        tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)
+
+
 def rasterize(
     means3d: jnp.ndarray,
     scales: jnp.ndarray,
@@ -120,21 +139,8 @@ def rasterize(
         parts.append(extra_features)
     feats = jnp.concatenate(parts, axis=-1)
 
-    backend = cfg.backend
-    if backend == "auto":
-        backend = "pallas" if (
-            jax.default_backend() == "tpu" and cfg.tile_axis is None
-        ) else "jnp"
-    if backend == "pallas":
-        from . import composite_pallas as cpal
-        out = cpal.composite_pallas(
-            bins, proj.xy, proj.conic, proj.opacity, feats,
-            cfg.grid, chunk=cfg.chunk)
-    else:
-        out = comp.composite(
-            bins, proj.xy, proj.conic, proj.opacity, feats,
-            cfg.grid, chunk=cfg.chunk,
-            tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)
+    out = composite_dispatch(
+        cfg, bins, proj.xy, proj.conic, proj.opacity, feats)
 
     img = out.image[: cfg.height, : cfg.width]
     final_t = out.final_t[: cfg.height, : cfg.width]

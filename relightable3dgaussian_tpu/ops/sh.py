@@ -110,7 +110,10 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     n = num_sh_coeffs(deg)
     assert sh.shape[-1] >= n
     basis = eval_sh_basis(deg, dirs)  # [..., n]
-    return jnp.einsum("...ck,...k->...c", sh[..., :n], basis)
+    # Elementwise multiply-reduce, NOT einsum: a batched [C,n]x[n] einsum
+    # lowers to per-splat MXU matmuls padded to 8x128 tiles — pure VPU
+    # fma is an order of magnitude faster at these shapes.
+    return jnp.sum(sh[..., :n] * basis[..., None, :], axis=-1)
 
 
 def rgb2sh(rgb: jnp.ndarray) -> jnp.ndarray:

@@ -48,14 +48,20 @@ def build_cov3d(scale: jnp.ndarray, quat: jnp.ndarray,
     """World-space 3D covariance Σ = R S² Rᵀ.  Returns [..., 3, 3].
 
     Quats are assumed pre-normalized (activation does it), matching
-    `forward.cu:124-158`.
+    `forward.cu:124-158`.  Expanded elementwise — a batched per-splat
+    3x3 einsum lowers to millions of MXU-tile-padded micro-matmuls on
+    TPU; explicit fma chains run on the VPU at full fp32.
     """
     R = quat_to_rotmat(quat)
     s2 = (scale * scale_modifier) ** 2
-    # HIGHEST: keep fp32 on the MXU — covariance parity with the reference
-    # (and symmetry) degrades visibly at default/bf16 precision.
-    return jnp.einsum("...ij,...j,...kj->...ik", R, s2, R,
-                      precision=jax.lax.Precision.HIGHEST)
+    # Σ_ij = Σ_k R_ik s2_k R_jk
+    rows = [R[..., i, :] for i in range(3)]
+
+    def entry(i, j):
+        return jnp.sum(rows[i] * s2 * rows[j], axis=-1)
+
+    e = [[entry(i, j) for j in range(3)] for i in range(3)]
+    return jnp.stack([jnp.stack(r, -1) for r in e], -2)
 
 
 def cov3d_to_sym6(cov: jnp.ndarray) -> jnp.ndarray:
@@ -105,22 +111,31 @@ def ewa_project_cov(
     tytz = jnp.clip(t[..., 1] / tz, -1.3 * tan_fovy, 1.3 * tan_fovy) * tz
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
     # J: 2x3 Jacobian of the perspective projection at the clamped point.
     j00 = focal_x * inv_z
     j02 = -focal_x * txtz * inv_z2
     j11 = focal_y * inv_z
     j12 = -focal_y * tytz * inv_z2
-    J = jnp.stack(
-        [jnp.stack([j00, zeros, j02], -1),
-         jnp.stack([zeros, j11, j12], -1)], -2)  # [..., 2, 3]
-    hi = jax.lax.Precision.HIGHEST
-    U = jnp.einsum("...ij,jk->...ik", J, R, precision=hi)  # [..., 2, 3]
-    cov2d = jnp.einsum("...ij,...jk,...lk->...il", U, cov3d, U,
-                       precision=hi)  # [..., 2, 2]
-    a = cov2d[..., 0, 0] + low_pass
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + low_pass
+    # U = J @ R expanded with J's sparsity (rows are j00*R0 + j02*R2 and
+    # j11*R1 + j12*R2); batched per-splat einsums lower to padded MXU
+    # micro-matmuls on TPU — explicit VPU fma is far faster.
+    R0, R1, R2 = R[0], R[1], R[2]                     # rows, each [3]
+    u0 = j00[..., None] * R0 + j02[..., None] * R2    # [..., 3]
+    u1 = j11[..., None] * R1 + j12[..., None] * R2
+
+    def quad(u, v):  # u^T Σ v with Σ = cov3d
+        s = cov3d
+        vx = (s[..., 0, 0] * v[..., 0] + s[..., 0, 1] * v[..., 1]
+              + s[..., 0, 2] * v[..., 2])
+        vy = (s[..., 1, 0] * v[..., 0] + s[..., 1, 1] * v[..., 1]
+              + s[..., 1, 2] * v[..., 2])
+        vz = (s[..., 2, 0] * v[..., 0] + s[..., 2, 1] * v[..., 1]
+              + s[..., 2, 2] * v[..., 2])
+        return u[..., 0] * vx + u[..., 1] * vy + u[..., 2] * vz
+
+    a = quad(u0, u0) + low_pass
+    b = quad(u0, u1)
+    c = quad(u1, u1) + low_pass
     return jnp.stack([a, b, c], -1)
 
 

@@ -89,6 +89,38 @@ class Camera:
         )
 
 
+def downscale_camera(cam: Camera, factor: int) -> Camera:
+    """Return a camera with image/masks/priors resized by 1/factor
+    (reference `camera_utils.py:14-77`, which also caps resolution at
+    1.6k — callers pick the factor)."""
+    if factor <= 1:
+        return cam
+    import dataclasses as _dc
+    from PIL import Image
+
+    W, H = cam.width // factor, cam.height // factor
+
+    def rs(img, channels=True):
+        if img is None:
+            return None
+        arr = np.asarray(img)
+        mode = "F" if arr.ndim == 2 else None
+        if arr.ndim == 2:
+            out = np.asarray(Image.fromarray(arr.astype(np.float32),
+                                             mode="F").resize((W, H)))
+        else:
+            chans = [np.asarray(Image.fromarray(
+                arr[..., c].astype(np.float32), mode="F").resize((W, H)))
+                for c in range(arr.shape[-1])]
+            out = np.stack(chans, -1)
+        return out.astype(np.float32)
+
+    return _dc.replace(
+        cam, width=W, height=H,
+        image=rs(cam.image), gt_alpha_mask=rs(cam.gt_alpha_mask),
+        depth=rs(cam.depth), normal=rs(cam.normal))
+
+
 def make_camera(
     uid: int,
     R: np.ndarray,

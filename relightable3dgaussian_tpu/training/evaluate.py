@@ -20,6 +20,17 @@ def _to_uint8(img: np.ndarray) -> np.ndarray:
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
+def visualize_depth(depth: np.ndarray, near: float = 0.2,
+                    far: float = 13.0) -> np.ndarray:
+    """Turbo-style depth colormap (reference `image_utils.py:6-23`)."""
+    x = np.clip((np.nan_to_num(depth) - near) / (far - near), 0, 1)
+    # compact turbo polynomial approximation
+    r = np.clip(1.55 - np.abs(4.0 * x - 2.9), 0, 1)
+    g = np.clip(1.55 - np.abs(4.0 * x - 1.8), 0, 1)
+    b = np.clip(1.75 - np.abs(4.0 * x - 0.6), 0, 1)
+    return np.stack([r, g, b], -1).astype(np.float32)
+
+
 def save_image(path: str, img: np.ndarray) -> None:
     from PIL import Image
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

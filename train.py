@@ -80,6 +80,11 @@ def main() -> None:
                        white_background=args.white_background,
                        eval_split=args.eval, max_cameras=args.max_cameras)
     cams = scene.train_cameras
+    if args.downscale > 1:
+        from relightable3dgaussian_tpu.scene.cameras import downscale_camera
+        cams = [downscale_camera(c, args.downscale) for c in cams]
+        scene.test_cameras = [downscale_camera(c, args.downscale)
+                              for c in scene.test_cameras]
     extent = scene.nerf_normalization["radius"]
     H, W = cams[0].height, cams[0].width
     print(f"{len(cams)} train cameras, {len(scene.test_cameras)} test, "
@@ -121,6 +126,12 @@ def main() -> None:
 
     t_start = time.time()
     log = open(os.path.join(args.model_path, "train_log.txt"), "a")
+    tb_writer = None
+    try:  # TensorBoard scalars (reference train.py:222-297) — optional
+        from torch.utils.tensorboard import SummaryWriter
+        tb_writer = SummaryWriter(os.path.join(args.model_path, "tb"))
+    except Exception:
+        pass
 
     def callback(it, metrics):
         msg = (f"it {it} loss {metrics.get('loss', 0):.4f} "
@@ -130,6 +141,9 @@ def main() -> None:
         print(msg, flush=True)
         log.write(msg + "\n")
         log.flush()
+        if tb_writer is not None:
+            for k, v in metrics.items():
+                tb_writer.add_scalar(f"train/{k}", v, it)
 
     ply_dir = os.path.join(args.model_path, "ply")
     os.makedirs(ply_dir, exist_ok=True)
