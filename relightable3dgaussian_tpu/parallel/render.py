@@ -1,0 +1,159 @@
+"""Gaussian-sharded rendering — the renderer's tensor-parallel analogue.
+
+SURVEY.md §2.7: shard the P splats across mesh members; each member runs
+the per-splat pipeline (activation, SH color, EWA projection, feature
+packing) for its slice only, then the projected splats are re-sharded to
+tile owners — here one `all_gather` over the mesh axis (the
+"shard-by-point → re-sort → shard-by-tile" all-to-all, with the gather
+standing in while splat lists are small enough to replicate
+post-projection).  The compositor then runs tile-sharded over the same
+axis, so per-splat FLOPs AND per-pixel FLOPs both scale with the mesh.
+
+Gradients: every parameter-consuming path is shard-local before the
+gather, so the all_gather transpose (reduce-scatter) delivers exact
+per-slice cotangents; a `psum` over the axis reassembles full parameter
+gradients (each member's contribution has disjoint nonzero rows).
+Tested bit-exact against the single-device step.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import gaussians as G
+from ..models import render as R
+from ..ops import binning, projection
+from ..ops import composite as comp
+from ..ops.rasterize import RasterizeConfig
+from ..training.trainer import TrainState
+
+
+def render_point_sharded(
+    params: G.GaussianParams,
+    alive: jnp.ndarray,
+    camera: dict[str, jnp.ndarray],
+    bg_color: jnp.ndarray,
+    cfg: RasterizeConfig,
+    axis: str,
+    nshards: int,
+    active_sh_degree: int = 3,
+):
+    """Base-3DGS forward with point-sharded preprocess + tile-sharded
+    compositing (call inside shard_map over `axis`).
+
+    Returns a results dict like `models.render.render_view`
+    (compute_pseudo_normal excluded).
+    """
+    N = params.capacity
+    assert N % nshards == 0, (N, nshards)
+    Pl = N // nshards
+    my = jax.lax.axis_index(axis)
+
+    def sl(x):
+        return jax.lax.dynamic_slice_in_dim(x, my * Pl, Pl, axis=0)
+
+    p_sl = jax.tree.map(sl, params)
+    alive_sl = sl(alive)
+
+    proj_sl = projection.preprocess(
+        p_sl.xyz, G.get_scaling(p_sl), G.get_rotation(p_sl),
+        G.get_opacity(p_sl), alive_sl,
+        camera["w2c"], camera["full_proj"], camera["campos"],
+        cfg.width, cfg.height,
+        camera["focal"][0], camera["focal"][1],
+        camera["tan_fov"][0], camera["tan_fov"][1],
+        sh_coeffs=G.get_shs(p_sl), active_sh_degree=active_sh_degree,
+        scale_modifier=cfg.scale_modifier, znear=cfg.znear)
+    feats_sl = jnp.concatenate(
+        [proj_sl.rgb, proj_sl.depth[:, None],
+         jnp.ones_like(proj_sl.depth)[:, None], G.get_normal(p_sl)], -1)
+
+    # the point→tile re-shard: gather projected splats to every member
+    gather = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
+    proj = jax.tree.map(gather, proj_sl)
+    feats = gather(feats_sl)
+
+    bins = binning.bin_splats(
+        proj, cfg.grid, cfg.max_tiles_per_gaussian, cfg.max_per_tile)
+    bins = jax.tree.map(jax.lax.stop_gradient, bins)
+
+    out = comp.composite(
+        bins, proj.xy, proj.conic, proj.opacity, feats, cfg.grid,
+        chunk=cfg.chunk, tile_axis=axis, tile_shards=nshards)
+
+    img = out.image[: cfg.height, : cfg.width]
+    final_t = out.final_t[: cfg.height, : cfg.width]
+    return {
+        "render": img[..., 0:3] + final_t[..., None] * bg_color,
+        "depth": img[..., 3],
+        "opacity": img[..., 4],
+        "normal": img[..., 5:8],
+        "final_t": final_t,
+        "radii": gather(proj_sl.radius),
+        "visibility_filter": gather(proj_sl.radius) > 0,
+    }
+
+
+def make_tp_train_step(
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    cfg: RasterizeConfig,
+    loss_cfg: R.LossConfig,
+    sh_deg: int = 3,
+):
+    """Training step with data-parallel cameras x Gaussian/tile-sharded
+    rendering.  Parameter gradients: psum over the model axis (disjoint
+    slices), pmean over data."""
+    ndata = mesh.shape["data"]
+    ntile = mesh.shape["tile"]
+
+    def shard_fn(state: TrainState, cameras, gt_images, bg):
+        gs = state.gaussians
+
+        def local_loss(p):
+            def one(cam_gt):
+                cam, gt = cam_gt
+                res = render_point_sharded(
+                    p, gs.alive, cam, bg, cfg, "tile", ntile,
+                    active_sh_degree=sh_deg)
+                loss, tb = R.calculate_loss(res, {"image": gt}, loss_cfg)
+                return loss, tb
+            losses, tbs = jax.lax.map(one, (cameras, gt_images))
+            return jnp.mean(losses), jax.tree.map(jnp.mean, tbs)
+
+        (loss, tb), grads = jax.value_and_grad(
+            local_loss, has_aux=True)(gs.params)
+        # disjoint per-slice contributions → SUM over the model axis,
+        # then the batch mean over data
+        grads = jax.tree.map(
+            lambda g: jax.lax.pmean(jax.lax.psum(g, "tile"), "data"),
+            grads)
+        loss = jax.lax.pmean(loss, "data")
+
+        alive_b = gs.alive
+        grads = jax.tree.map(
+            lambda g: jnp.where(
+                alive_b.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0),
+            grads)
+        updates, new_opt = tx.update(grads, state.opt_state, gs.params)
+        new_params = optax.apply_updates(gs.params, updates)
+        new_state = TrainState(
+            gaussians=gs.replace(params=new_params),
+            opt_state=new_opt, step=state.step + 1)
+        return new_state, {"loss": loss, "psnr": jax.lax.pmean(
+            tb["psnr"], "data")}
+
+    rep = P()
+    batch = P("data")
+    cam_specs = dict(w2c=batch, full_proj=batch, campos=batch,
+                     focal=batch, tan_fov=batch)
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(rep, cam_specs, batch, rep),
+        out_specs=(rep, rep),
+        check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0,))

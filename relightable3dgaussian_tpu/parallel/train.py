@@ -125,6 +125,85 @@ def make_sharded_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_sharded_pbr_train_step(
+    txs: tuple,
+    mesh: Mesh,
+    raster_cfg: RasterizeConfig,
+    loss_cfg: R.LossConfig,
+    sh_deg: int = 3,
+    sample_num: int = 16,
+):
+    """Sharded FLAGSHIP (NeILF PBR) training step: splats + env SH +
+    gamma optimized jointly, camera batch over "data", compositor tiles
+    over "tile" — the full stage-2 step under the mesh."""
+    from ..models import neilf as NF
+    from ..training.trainer_neilf import PBRTrainState
+
+    tx, tx_env, tx_gamma = txs
+    ndata = mesh.shape["data"]
+    ntile = mesh.shape["tile"]
+    if ntile > 1:
+        assert raster_cfg.tile_axis == "tile", raster_cfg
+        assert raster_cfg.tile_shards == ntile, raster_cfg
+
+    def shard_fn(state: PBRTrainState, cameras, gt_images, bg, rng):
+        gs = state.gaussians
+
+        def local_loss(params, env, gamma):
+            def one(cam_gt):
+                cam, gt = cam_gt
+                res = NF.render_view(
+                    params, gs.alive, cam, bg, raster_cfg,
+                    env_light=env, gamma=gamma, use_ldr_image=True,
+                    sample_num=sample_num, active_sh_degree=sh_deg,
+                    is_training=True, rng=rng)
+                loss, tb = NF.calculate_loss(res, {"image": gt}, loss_cfg)
+                return loss, tb
+            losses, tbs = jax.lax.map(one, (cameras, gt_images))
+            return jnp.mean(losses), jax.tree.map(jnp.mean, tbs)
+
+        (loss, tb), grads = jax.value_and_grad(
+            local_loss, argnums=(0, 1, 2), has_aux=True)(
+            gs.params, state.env, state.gamma)
+        g_params, g_env, g_gamma = [
+            jax.tree.map(
+                lambda g: jax.lax.pmean(jax.lax.pmean(g, "tile"), "data"),
+                g) for g in grads]
+        loss = jax.lax.pmean(loss, "data")
+
+        alive_b = gs.alive
+        g_params = jax.tree.map(
+            lambda g: jnp.where(
+                alive_b.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0),
+            g_params)
+        upd, opt_state = tx.update(g_params, state.opt_state, gs.params)
+        new_params = optax.apply_updates(gs.params, upd)
+        upd_e, env_opt = tx_env.update(g_env, state.env_opt, state.env)
+        new_env = optax.apply_updates(state.env, upd_e)
+        upd_g, gamma_opt = tx_gamma.update(g_gamma, state.gamma_opt)
+        new_gamma = optax.apply_updates(state.gamma, upd_g)
+
+        new_state = PBRTrainState(
+            gaussians=gs.replace(params=new_params),
+            opt_state=opt_state, env=new_env, env_opt=env_opt,
+            gamma=new_gamma, gamma_opt=gamma_opt, step=state.step + 1)
+        return new_state, {"loss": loss,
+                           "psnr_pbr": jax.lax.pmean(
+                               tb["psnr_pbr"], "data")}
+
+    rep = P()
+    batch = P("data")
+    cam_specs = dict(
+        w2c=batch, full_proj=batch, campos=batch, focal=batch,
+        tan_fov=batch)
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(rep, cam_specs, batch, rep, rep),
+        out_specs=(rep, rep),
+        check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Put a pytree on every device of the mesh (fully replicated)."""
     sharding = NamedSharding(mesh, P())

@@ -113,3 +113,44 @@ def test_sharded_train_step_runs_and_matches_gradients():
     np.testing.assert_allclose(
         np.asarray(new_state.gaussians.params.xyz),
         np.asarray(new1.gaussians.params.xyz), atol=1e-5)
+
+
+def test_point_sharded_tp_step_matches_single_device():
+    """Gaussian-sharded (TP) rendering: parameter updates match the
+    single-device step bit-for-nearly-bit."""
+    from relightable3dgaussian_tpu.parallel import render as prender
+
+    st, camera = setup(P=64, capacity=128)
+    gt = jnp.full((4, H, W, 3), 0.5, jnp.float32)
+    bg = jnp.zeros(3)
+
+    # single-device comparison first (sharded step donates its input)
+    cfg1 = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=16,
+                           max_per_tile=32, chunk=8)
+    tstate1, tx1 = T.init_train_state(st, opt_mod.OptimConfig())
+    new1, m1 = T.train_step(
+        tstate1, camera, {"image": gt[0]}, bg, tx1, cfg1,
+        R.LossConfig(), 0)
+
+    mesh = make_mesh(data=2, tile=4)
+    cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=16,
+                          max_per_tile=32, chunk=8)
+    tstate, tx = T.init_train_state(st, opt_mod.OptimConfig())
+    step = prender.make_tp_train_step(tx, mesh, cfg, R.LossConfig(),
+                                      sh_deg=0)
+    B = 2
+    cameras = {k: jnp.stack([v] * B) for k, v in camera.items()}
+    tstate_r = ptrain.replicate(tstate, mesh)
+    cameras_s = ptrain.shard_batch(cameras, mesh)
+    gt_s = ptrain.shard_batch(gt[:B], mesh)
+
+    new_state, metrics = step(tstate_r, cameras_s, gt_s, bg)
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(float(metrics["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state.gaussians.params.xyz),
+        np.asarray(new1.gaussians.params.xyz), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state.gaussians.params.shs_dc),
+        np.asarray(new1.gaussians.params.shs_dc), atol=2e-5)
