@@ -40,13 +40,19 @@ def main() -> None:
     P = 100_000
     capacity = 131_072
 
+    # Frustum-filling cloud: uniform over the visible volume so the tile
+    # load is balanced like a trained real scene (a thin shell at the
+    # center drops ~98% of instances to the per-tile cap and leaves most
+    # tiles empty — an unrepresentative workload).
     rng = np.random.default_rng(0)
-    dirs = rng.normal(size=(P, 3))
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    pts = (dirs * rng.uniform(0.3, 0.9, (P, 1))).astype(np.float32)
+    z = rng.uniform(1.2, 4.0, P)
+    half = np.tan(0.45) * z
+    x = rng.uniform(-1, 1, P) * half
+    y = rng.uniform(-1, 1, P) * half
+    pts = np.stack([x, y, 2.8 - z], -1).astype(np.float32)  # camera at z=2.8
     cols = rng.uniform(0, 1, (P, 3)).astype(np.float32)
     state = G.create_from_points(pts, cols, capacity=capacity,
-                                 init_scale=np.full(P, 0.01, np.float32))
+                                 init_scale=np.full(P, 0.012, np.float32))
 
     cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=32,
                           max_per_tile=512, chunk=32)
@@ -75,6 +81,12 @@ def main() -> None:
                 results, {"image": target}, loss_cfg)
             return loss
         return jax.value_and_grad(loss_fn)(params)
+
+    # scene sanity: instance counts / overflow
+    res0 = R.render_view(state.params, state.alive, camera, bg, cfg,
+                         active_sh_degree=3, compute_pseudo_normal=False)
+    print("# binning:", {k: int(v) for k, v in res0["stats"].items()},
+          file=sys.stderr, flush=True)
 
     # warmup / compile
     print(f"# compiling on {jax.devices()[0].platform}...",
