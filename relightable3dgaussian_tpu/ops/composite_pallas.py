@@ -110,10 +110,12 @@ def _forward_kernel(counts_ref, data_ref, img_ref, t_ref, last_ref,
             (trig_cum - trigger.astype(jnp.float32)) > 0.5)
         applied = valid & ~stopped_before & ~trigger
 
+        # Valid-based t_before equals applied-based t_before for every
+        # applied splat (before the first trigger, valid ⟺ applied; after
+        # it nothing is applied) — one prefix product suffices, matching
+        # the jnp twin.
         la = jnp.log1p(-jnp.where(applied, alpha, 0.0))
-        cum_a = _cumsum0(la)
-        t_before_a = jnp.exp(log_t + cum_a - la)
-        w = jnp.where(applied, alpha * t_before_a, 0.0)   # [C, P2]
+        w = jnp.where(applied, alpha * t_before, 0.0)      # [C, P2]
 
         accum = accum + jax.lax.dot_general(
             w, feat, (((0,), (0,)), ((), ())),
@@ -218,10 +220,9 @@ def _backward_kernel(counts_ref, data_ref, gimg_ref, gt_ref,
             (trig_cum - trigger.astype(jnp.float32)) > 0.5)
         applied = valid & ~stopped_before & ~trigger
 
+        # valid-based t_before == applied-based for applied splats
         ea = jnp.where(applied, alpha, 0.0)
-        la = jnp.log1p(-ea)
-        cum_a = _cumsum0(la)
-        t_before = jnp.exp(log_t + cum_a - la)
+        t_before = t_before0
         w = jnp.where(applied, alpha * t_before, 0.0)
 
         # dL/dw and dL/dfeat via two MXU matmuls
