@@ -110,10 +110,15 @@ def render(
         "depth_sample": depth_img[py, px],
         "stencil_sample": stencil_img[py, px],
     }
+    has_pbr = params.roughness.shape[-1] > 0
     sio = {
         "opacity": proj.opacity,
         "stencil_val": stencil,
         "stencil_opacity": proj.opacity,
+        "roughness": G.get_roughness(params)[:, 0] if has_pbr
+        else jnp.zeros_like(proj.opacity),
+        "metallic": G.get_metallic(params)[:, 0] if has_pbr
+        else jnp.zeros_like(proj.opacity),
     }
     if splat_shader_ids is not None:
         sres = S.run_splat_shaders(splat_shader_ids, inp, sio, ctx)
@@ -127,6 +132,7 @@ def render(
         proj.depth[:, None],             # 6
         jnp.ones_like(stencil)[:, None],  # 7 opacity
         sres["stencil_val"][:, None],    # 8
+        sres["metallic"][:, None],       # 9 (crack-reconstruction mask)
     ], -1)
     out = composite_dispatch(cfg, bins, proj.xy, proj.conic,
                              sres["opacity"], feats)
@@ -152,7 +158,7 @@ def render(
         "stencil": img[..., 8],
         "incident_light": jnp.zeros_like(render_img),
         "pseudo_normal": pn,
-        "metallic": jnp.zeros_like(img[..., 6]),
+        "metallic": img[..., 9],
     }
     if extra_images:
         images.update(extra_images)

@@ -346,14 +346,63 @@ def splat_quantize_color(ctx, inp, io):
     return {"out_color": inp["color_base"], **io}
 
 
+def splat_crack_no_recon(ctx, inp, io):
+    """Crack cut-out that hands reconstruction to the post pass: masked
+    splats go to the stencil, interior splats flag `metallic`
+    (`CrackWithoutReconstructionShaderCUDA`, `splatShader.cu:188-226`)."""
+    pos = inp["position"]
+    tex = _tex(ctx.get("textures"), "Bulge")
+    u = pos[:, 0] / 2.0 - 0.5
+    v = pos[:, 1] / 2.0 - 0.5
+    crack_depth = 1.0 - sample_texture(tex, u, v)[:, 0]
+    crack_h = 2.0 - crack_depth * 2.0
+    reaches = crack_h < pos[:, 2]
+    original_opacity = io["opacity"]
+    opacity = jnp.where(reaches, 0.0, io["opacity"])
+    dist_surf = inp["splat_depth"] - inp["depth_sample"] + 0.2
+    inside = dist_surf > 0
+    reach = 0.5 * crack_depth
+    max_primary = 2.0 - (crack_depth + reach) * 2.0
+    use_internal = inside & (max_primary < pos[:, 2])
+    return {"out_color": inp["color_base"],
+            **{**io,
+               "opacity": opacity,
+               "stencil_val": reaches.astype(pos.dtype),
+               "stencil_opacity": original_opacity,
+               "metallic": use_internal.astype(pos.dtype)}}
+
+
+def splat_roughness_only(ctx, inp, io):
+    """Debug: hard-set roughness by half-space, zero everything else
+    (`RoughnessOnlyCUDA`, `splatShader.cu:234-251`)."""
+    rough = jnp.where(inp["position"][:, 0] < 0, 0.25, 0.75)
+    zeros3 = jnp.zeros_like(inp["color_sh"])
+    return {"out_color": zeros3,
+            **{**io, "roughness": rough,
+               "metallic": jnp.zeros_like(rough)}}
+
+
+def splat_quantize_light(ctx, inp, io):
+    """Quantize incident light to a white intensity ramp
+    (`QuantizeLight`, `splatShader.cu:259-269`)."""
+    light = inp.get("incident_light", inp["color_sh"])
+    q = quantize(light, 3)
+    white = jnp.max(q, axis=-1)
+    return {"out_color": inp["color_base"],
+            **{**io, "roughness": white}}
+
+
 SPLAT_SHADERS: dict[str, Callable] = {
     "default": splat_default,
     "naiveOutline": splat_naive_outline,
     "wireframe": splat_wireframe,
     "dissolve": splat_dissolve,
     "crack": splat_crack,
+    "crackNoRecon": splat_crack_no_recon,
     "writeToStencil": splat_write_stencil,
+    "roughnessOnly": splat_roughness_only,
     "quantizeFlats": splat_quantize_color,
+    "quantizeLight": splat_quantize_light,
 }
 
 

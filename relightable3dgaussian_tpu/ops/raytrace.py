@@ -164,6 +164,76 @@ def trace_visibility(
     return {"visibility": vis, "contribute": count}
 
 
+@functools.partial(jax.jit, static_argnames=("max_hits", "chunk"))
+def trace_hits(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    means: jnp.ndarray,
+    sym6_inv: jnp.ndarray,
+    opacities: jnp.ndarray,
+    alive: jnp.ndarray | None = None,
+    max_hits: int = 32,
+    chunk: int = 8192,
+) -> dict[str, jnp.ndarray]:
+    """Depth-sorted per-ray hit lists — the generic `trace_bvh` analogue
+    (`bvh/src/trace.cu:8-192`, which emits hits sorted by 64-bit
+    ray|depth keys).  Dense evaluation + per-ray top-k by depth.
+
+    Returns {"t": [R, max_hits] hit depths (inf-padded),
+             "id": [R, max_hits] gaussian ids (-1-padded),
+             "alpha": [R, max_hits] gaussian alphas at the hit}.
+    """
+    R = rays_o.shape[0]
+    P = means.shape[0]
+    pad = (-P) % chunk
+    if pad:
+        padz = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        means = padz(means)
+        sym6_inv = padz(sym6_inv)
+        opacities = padz(opacities)
+        alive = jnp.pad(alive, (0, pad)) if alive is not None else \
+            jnp.pad(jnp.ones(P, bool), (0, pad))
+    elif alive is None:
+        alive = jnp.ones(P, bool)
+
+    f_dd, f_dm, f_mm = _ray_features(rays_o, rays_d)
+    a, b, c = _gauss_coeffs(means, sym6_inv)
+    nchunks = means.shape[0] // chunk
+    resh = lambda x: x.reshape(nchunks, chunk, *x.shape[1:])
+    scan_in = (resh(a), resh(b), resh(c), resh(opacities), resh(alive),
+               resh(jnp.arange(means.shape[0], dtype=jnp.int32)))
+
+    def body(carry, xs):
+        best_t, best_id, best_a = carry
+        ac, bc, cc, op, al, ids = xs
+        dad = jnp.maximum(f_dd @ ac.T, 1e-18)
+        dam = jax.lax.dot_general(
+            f_dm, bc, (((1,), (1,)), ((), ())))
+        mam = f_mm @ cc.T
+        t = dam / dad
+        power = -0.5 * (mam - dam * dam / dad)
+        ok = (al[None, :] & (op[None, :] >= 1.0 / 255.0)
+              & (t >= 0.01) & (power <= 0.0))
+        alpha = jnp.where(ok, op[None, :] * jnp.exp(power), 0.0)
+        t = jnp.where(ok & (alpha >= 1.0 / 255.0), t, jnp.inf)
+        # merge this chunk's hits into the running top-k (smallest t)
+        all_t = jnp.concatenate([best_t, t], axis=1)
+        all_id = jnp.concatenate(
+            [best_id, jnp.broadcast_to(ids[None, :], t.shape)], axis=1)
+        all_a = jnp.concatenate([best_a, alpha], axis=1)
+        neg_top, idx = jax.lax.top_k(-all_t, max_hits)
+        take = jnp.take_along_axis
+        return (take(all_t, idx, 1), take(all_id, idx, 1),
+                take(all_a, idx, 1)), None
+
+    init = (jnp.full((R, max_hits), jnp.inf),
+            jnp.full((R, max_hits), -1, jnp.int32),
+            jnp.zeros((R, max_hits)))
+    (t, gid, alpha), _ = jax.lax.scan(body, init, scan_in)
+    gid = jnp.where(jnp.isinf(t), -1, gid)
+    return {"t": t, "id": gid, "alpha": alpha}
+
+
 def make_visibility_tracer(params_means, scales, rotations, opacities,
                            normals, alive=None, chunk: int = 65_536):
     """Bind splat data into an (rays_o, rays_d) -> [R] visibility fn —

@@ -126,3 +126,50 @@ def test_opaque_wall_blocks():
         rays_o, rays_d, jnp.asarray(means), sym6, jnp.asarray(ops_),
         jnp.asarray(normals), chunk=32)
     assert float(out["visibility"][0]) == 0.0
+
+
+def test_trace_hits_sorted_and_correct():
+    """Generic hit-list API: depth-sorted, matches a brute-force oracle."""
+    means, scales, quats, ops_, normals = make_scene(P=50, seed=3)
+    rng = np.random.default_rng(4)
+    rays_o = rng.uniform(-2, 2, (16, 3)).astype(np.float32)
+    rays_d = rng.normal(size=(16, 3)).astype(np.float32)
+    sym6 = raytrace.inverse_covariance(jnp.asarray(scales),
+                                      jnp.asarray(quats))
+    out = raytrace.trace_hits(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.asarray(means),
+        sym6, jnp.asarray(ops_), max_hits=8, chunk=32)
+    t = np.asarray(out["t"])
+    gid = np.asarray(out["id"])
+    # sorted ascending
+    tt = np.where(np.isinf(t), 1e30, t)
+    assert (np.diff(tt, axis=1) >= -1e-5).all()
+    # oracle: brute force per ray
+    import numpy.linalg as la
+    for i in range(4):
+        o, d = rays_o[i], rays_d[i]
+        hits = []
+        for j in range(50):
+            if ops_[j] < 1 / 255:
+                continue
+            q = quats[j]
+            r_, x, y, z = q
+            Rm = np.array([
+                [1-2*(y*y+z*z), 2*(x*y-r_*z), 2*(x*z+r_*y)],
+                [2*(x*y+r_*z), 1-2*(x*x+z*z), 2*(y*z-r_*x)],
+                [2*(x*z-r_*y), 2*(y*z+r_*x), 1-2*(x*x+y*y)]])
+            A = Rm @ np.diag(1/scales[j]**2) @ Rm.T
+            mu = means[j] - o
+            tj = (d @ A @ mu) / (d @ A @ d)
+            if tj < 0.01:
+                continue
+            pos = o + tj * d
+            dd = means[j] - pos
+            power = -0.5 * dd @ A @ dd
+            alpha = ops_[j] * np.exp(power)
+            if alpha >= 1 / 255:
+                hits.append((tj, j))
+        hits.sort()
+        want = [j for _, j in hits[:8]]
+        got = [g for g in gid[i] if g >= 0]
+        assert got == want, (i, got, want)
