@@ -56,19 +56,22 @@ def _cumsum0(x):
         L, x.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-def _pixel_coords(gx: int):
-    """Per-tile pixel coordinate rows [1, P2] from the program id."""
-    t = pl.program_id(0)
+TB = 4  # tiles per program (grid blocking: bigger DMA blocks,
+        # fewer grid steps; early exit stays per-tile)
+
+
+def _pixel_coords(gx: int, tile_id):
+    """Pixel coordinate rows [1, P2] for one tile."""
     p = jax.lax.broadcasted_iota(jnp.int32, (1, P2), 1)
-    pixx = (t % gx) * TILE + (p % TILE)
-    pixy = (t // gx) * TILE + p // TILE
+    pixx = (tile_id % gx) * TILE + (p % TILE)
+    pixy = (tile_id // gx) * TILE + p // TILE
     return pixx.astype(jnp.float32), pixy.astype(jnp.float32)
 
 
-def _chunk_quantities(data_ref, k0, C, F, count, pixx, pixy):
+def _chunk_quantities(data_ref, tb, k0, C, F, count, pixx, pixy):
     """Common per-chunk math: returns (alpha, valid, feat) for splats
     [k0, k0+C) against the tile's 256 pixels."""
-    chunk = data_ref[0, pl.ds(k0, C), :]            # [C, D]
+    chunk = data_ref[tb, pl.ds(k0, C), :]           # [C, D]
     xs = chunk[:, 0:1]                              # [C, 1]
     ys = chunk[:, 1:2]
     ca = chunk[:, 2:3]
@@ -89,15 +92,23 @@ def _chunk_quantities(data_ref, k0, C, F, count, pixx, pixy):
 
 def _forward_kernel(counts_ref, data_ref, img_ref, t_ref, last_ref,
                     *, C: int, F: int, K: int, gx: int):
-    pixx, pixy = _pixel_coords(gx)
-    count = counts_ref[pl.program_id(0)]
     nchunks = K // C
+    for tb in range(TB):
+        _forward_one_tile(counts_ref, data_ref, img_ref, t_ref, last_ref,
+                          tb, C=C, F=F, nchunks=nchunks, gx=gx)
+
+
+def _forward_one_tile(counts_ref, data_ref, img_ref, t_ref, last_ref, tb,
+                      *, C: int, F: int, nchunks: int, gx: int):
+    tile_id = pl.program_id(0) * TB + tb
+    pixx, pixy = _pixel_coords(gx, tile_id)
+    count = counts_ref[tile_id]
 
     def body(carry):
         c, log_t, stopped_f, accum, last = carry
         stopped = stopped_f > 0.5
         alpha, valid, feat = _chunk_quantities(
-            data_ref, c * C, C, F, count, pixx, pixy)
+            data_ref, tb, c * C, C, F, count, pixx, pixy)
 
         la_all = jnp.log1p(-jnp.where(valid, alpha, 0.0))
         cum = _cumsum0(la_all)
@@ -140,18 +151,28 @@ def _forward_kernel(counts_ref, data_ref, img_ref, t_ref, last_ref,
             jnp.zeros((1, P2), jnp.int32))
     _, log_t, _, accum, last = jax.lax.while_loop(cond, body, init)
 
-    img_ref[0] = accum
-    t_ref[0] = jnp.exp(log_t)
-    last_ref[0] = last
+    img_ref[tb] = accum
+    t_ref[tb] = jnp.exp(log_t)
+    last_ref[tb] = last
 
 
 def _backward_kernel(counts_ref, data_ref, gimg_ref, gt_ref,
                      gdata_ref, ckpt_t_ref, ckpt_s_ref,
                      *, C: int, F: int, K: int, gx: int):
-    pixx, pixy = _pixel_coords(gx)
-    count = counts_ref[pl.program_id(0)]
     nchunks = K // C
-    g_accum = gimg_ref[0]                               # [P2, F]
+    for tb in range(TB):
+        _backward_one_tile(counts_ref, data_ref, gimg_ref, gt_ref,
+                           gdata_ref, ckpt_t_ref, ckpt_s_ref, tb,
+                           C=C, F=F, nchunks=nchunks, gx=gx)
+
+
+def _backward_one_tile(counts_ref, data_ref, gimg_ref, gt_ref,
+                       gdata_ref, ckpt_t_ref, ckpt_s_ref, tb,
+                       *, C: int, F: int, nchunks: int, gx: int):
+    tile_id = pl.program_id(0) * TB + tb
+    pixx, pixy = _pixel_coords(gx, tile_id)
+    count = counts_ref[tile_id]
+    g_accum = gimg_ref[tb]                              # [P2, F]
 
     # ---- forward sweep: store per-chunk carry checkpoints ----
     def fbody(carry):
@@ -160,7 +181,7 @@ def _backward_kernel(counts_ref, data_ref, gimg_ref, gt_ref,
         ckpt_t_ref[c] = log_t[0]
         ckpt_s_ref[c] = stopped_f[0].astype(jnp.int32)
         alpha, valid, _ = _chunk_quantities(
-            data_ref, c * C, C, F, count, pixx, pixy)
+            data_ref, tb, c * C, C, F, count, pixx, pixy)
         la_all = jnp.log1p(-jnp.where(valid, alpha, 0.0))
         cum = _cumsum0(la_all)
         t_before = jnp.exp(log_t + cum - la_all)
@@ -184,9 +205,9 @@ def _backward_kernel(counts_ref, data_ref, gimg_ref, gt_ref,
     n_done, log_t_final, _ = jax.lax.while_loop(fcond, fbody, init)
 
     # final_t gradient enters through log_t of the last processed chunk
-    g_log_t0 = gt_ref[0] * jnp.exp(log_t_final)          # [1, P2]
+    g_log_t0 = gt_ref[tb] * jnp.exp(log_t_final)         # [1, P2]
 
-    gdata_ref[0] = jnp.zeros((K, 6 + F), jnp.float32)
+    gdata_ref[tb] = jnp.zeros((nchunks * C, 6 + F), jnp.float32)
 
     # ---- reverse sweep ----
     def bbody(i, g_log_t):
@@ -194,7 +215,7 @@ def _backward_kernel(counts_ref, data_ref, gimg_ref, gt_ref,
         log_t = ckpt_t_ref[c][None, :]
         stopped = ckpt_s_ref[c][None, :] > 0
 
-        chunk_d = data_ref[0, pl.ds(c * C, C), :]
+        chunk_d = data_ref[tb, pl.ds(c * C, C), :]
         xs = chunk_d[:, 0:1]
         ys = chunk_d[:, 1:2]
         ca = chunk_d[:, 2:3]
@@ -257,7 +278,7 @@ def _backward_kernel(counts_ref, data_ref, gimg_ref, gt_ref,
 
         g_chunk = jnp.concatenate(
             [g_xs, g_ys, g_ca, g_cb, g_cc, g_op, g_feat], axis=1)
-        gdata_ref[0, pl.ds(c * C, C), :] = g_chunk
+        gdata_ref[tb, pl.ds(c * C, C), :] = g_chunk
 
         # propagate to earlier chunks: d logT_in touches every term
         g_log_t_new = jnp.sum(gww, axis=0)[None, :] + g_log_t
@@ -273,21 +294,26 @@ def _composite_core(data, counts, grid, chunk, F):
 
 def _core_fwd_impl(data, counts, grid, chunk, F):
     gx, gy = grid
-    T, K, D = data.shape
+    T0, K, D = data.shape
+    padT = (-T0) % TB
+    if padT:
+        data = jnp.pad(data, ((0, padT), (0, 0), (0, 0)))
+        counts = jnp.pad(counts, (0, padT))
+    T = T0 + padT
     kern = functools.partial(_forward_kernel, C=chunk, F=F, K=K, gx=gx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((1, K, D), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TB, K, D), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, P2, F), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TB, P2, F), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P2), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P2), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -300,7 +326,8 @@ def _core_fwd_impl(data, counts, grid, chunk, F):
             jax.ShapeDtypeStruct((T, 1, P2), jnp.int32),
         ],
     )(counts, data)
-    return img, final_t.reshape(T, P2), last.reshape(T, P2)
+    return (img[:T0], final_t.reshape(T, P2)[:T0],
+            last.reshape(T, P2)[:T0])
 
 
 def _core_fwd(data, counts, grid, chunk, F):
@@ -312,21 +339,29 @@ def _core_bwd(grid, chunk, F, res, cotangents):
     data, counts = res
     g_img, g_t, _ = cotangents
     gx, gy = grid
-    T, K, D = data.shape
+    T0, K, D = data.shape
+    g_t = g_t.reshape(T0, 1, P2)
+    padT = (-T0) % TB
+    if padT:
+        data = jnp.pad(data, ((0, padT), (0, 0), (0, 0)))
+        counts = jnp.pad(counts, (0, padT))
+        g_img = jnp.pad(g_img, ((0, padT), (0, 0), (0, 0)))
+        g_t = jnp.pad(g_t, ((0, padT), (0, 0), (0, 0)))
+    T = T0 + padT
     nchunks = K // chunk
     kern = functools.partial(_backward_kernel, C=chunk, F=F, K=K, gx=gx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T // TB,),
         in_specs=[
-            pl.BlockSpec((1, K, D), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TB, K, D), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P2, F), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TB, P2, F), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P2), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K, D), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((TB, K, D), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((nchunks, P2), jnp.float32),
@@ -337,8 +372,8 @@ def _core_bwd(grid, chunk, F, res, cotangents):
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, K, D), jnp.float32),
-    )(counts, data, g_img, g_t.reshape(T, 1, P2))
-    return g_data, None
+    )(counts, data, g_img, g_t)
+    return g_data[:T0], None
 
 
 _composite_core.defvjp(_core_fwd, _core_bwd)
