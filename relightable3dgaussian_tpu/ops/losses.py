@@ -54,15 +54,20 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     """Mean SSIM over an [H, W, C] pair (reference `loss_utils.py:31-62`).
 
     Uses zero ('same') padding like the torch original — border handling
-    must match for loss parity.
+    must match for loss parity.  The five blurred statistics share two
+    depthwise convolutions (channel-stacked) instead of ten.
     """
     k = _gaussian_window(window_size, sigma)
-    mu1 = _sep_filter2d(img1, k)
-    mu2 = _sep_filter2d(img2, k)
+    stack = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1)
+    blurred = _sep_filter2d(stack, k)
+    C = img1.shape[-1]
+    mu1 = blurred[..., 0:C]
+    mu2 = blurred[..., C:2 * C]
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _sep_filter2d(img1 * img1, k) - mu1_sq
-    s2 = _sep_filter2d(img2 * img2, k) - mu2_sq
-    s12 = _sep_filter2d(img1 * img2, k) - mu12
+    s1 = blurred[..., 2 * C:3 * C] - mu1_sq
+    s2 = blurred[..., 3 * C:4 * C] - mu2_sq
+    s12 = blurred[..., 4 * C:5 * C] - mu12
     c1, c2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
