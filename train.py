@@ -145,6 +145,21 @@ def main() -> None:
             for k, v in metrics.items():
                 tb_writer.add_scalar(f"train/{k}", v, it)
 
+    # cameras.json (reference `camera_utils.camera_to_JSON`, written by
+    # its training driver for downstream viewers)
+    cam_json = []
+    for i, cam in enumerate(cams):
+        c2w = cam.c2w
+        cam_json.append({
+            "id": i, "img_name": cam.image_name,
+            "width": cam.width, "height": cam.height,
+            "position": c2w[:3, 3].tolist(),
+            "rotation": c2w[:3, :3].tolist(),
+            "fx": float(cam.focal[0]), "fy": float(cam.focal[1]),
+        })
+    with open(os.path.join(args.model_path, "cameras.json"), "w") as f:
+        json.dump(cam_json, f)
+
     ply_dir = os.path.join(args.model_path, "ply")
     os.makedirs(ply_dir, exist_ok=True)
 
