@@ -141,3 +141,20 @@ def test_evaluate_writes_metrics(tmp_path):
     assert "psnr" in out and "ssim" in out
     assert os.path.exists(tmp_path / "eval.txt")
     assert os.path.exists(tmp_path / "00000_pred.png")
+
+
+def test_pbr_driver_loop_with_densify():
+    """train_pbr driver: steps + densification interleave, PBR params
+    stay finite, step counter advances."""
+    st, cam, cfg = make_setup(use_pbr=True)
+    tstate, txs = TN.init_pbr_train_state(st, opt_mod.OptimConfig())
+    loss_cfg = R.LossConfig(lambda_pbr=1.0, lambda_light=0.01)
+    tstate = TN.train_pbr(
+        tstate, txs, [cam], 8, cfg, loss_cfg,
+        D.DensifyConfig(grad_threshold=1e-9, grad_normal_threshold=1e30),
+        scene_extent=1.0, sample_num=4, densification_interval=4,
+        densify_until=100)
+    assert int(tstate.step) == 8
+    p = tstate.gaussians.params
+    for f in ["xyz", "base_color", "incidents_dc", "visibility_rest"]:
+        assert np.isfinite(np.asarray(getattr(p, f))).all(), f
