@@ -163,6 +163,18 @@ def main() -> None:
     ply_dir = os.path.join(args.model_path, "ply")
     os.makedirs(ply_dir, exist_ok=True)
 
+    test_cams_small = (scene.test_cameras or cams)[:4]
+
+    def periodic_eval(it, render_fn, key):
+        m = ev.evaluate(render_fn, test_cams_small, image_key=key)
+        msg = f"[test] it {it} psnr {m['psnr']:.2f} ssim {m['ssim']:.4f}"
+        print(msg, flush=True)
+        log.write(msg + "\n")
+        log.flush()
+        if tb_writer is not None:
+            tb_writer.add_scalar("test/psnr", m["psnr"], it)
+            tb_writer.add_scalar("test/ssim", m["ssim"], it)
+
     if args.type == "render":
         tstate, tx = T.init_train_state(state0, optim_cfg)
         tcfg = T.TrainConfig(
@@ -170,15 +182,30 @@ def main() -> None:
             white_background=args.white_background)
         done = 0
         while done < args.iterations:
-            n = min(args.save_interval, args.iterations - done)
+            n = min(args.save_interval, args.test_interval,
+                    args.iterations - done)
             tstate = T.train(
                 tstate, tx, cams, tcfg, raster_cfg, loss_cfg, densify_cfg,
                 extent, num_steps=n, log_every=args.log_interval,
                 callback=callback)
             done += n
-            path = os.path.join(ply_dir, f"point_cloud_{done}.ply")
-            npts = ckpt.save_ply(path, tstate.gaussians)
-            print(f"saved {npts} splats -> {path}", flush=True)
+            if done % args.test_interval == 0 and done < args.iterations:
+                gs = tstate.gaussians
+                deg = T.active_sh_degree(done, tcfg)
+
+                def rf(cam, gs=gs, deg=deg):
+                    camera = {k: jnp.asarray(v)
+                              for k, v in cam.render_inputs().items()}
+                    bg = jnp.ones(3) if args.white_background \
+                        else jnp.zeros(3)
+                    return R.render_view(
+                        gs.params, gs.alive, camera, bg, raster_cfg,
+                        active_sh_degree=deg, compute_pseudo_normal=False)
+                periodic_eval(done, rf, "render")
+            if done % args.save_interval == 0 or done == args.iterations:
+                path = os.path.join(ply_dir, f"point_cloud_{done}.ply")
+                npts = ckpt.save_ply(path, tstate.gaussians)
+                print(f"saved {npts} splats -> {path}", flush=True)
         final_state = tstate.gaussians
         sh_deg_final = T.active_sh_degree(args.iterations, tcfg)
 
