@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--prob_thresh", type=float, default=0.3)
     ap.add_argument("--params", default=None,
                     help="orbax checkpoint of trained MVS params")
+    ap.add_argument("--depth_nums", default="64,32,16",
+                    help="cascade hypothesis counts (must match training)")
+    ap.add_argument("--base", type=int, default=8)
     ap.add_argument("--max_views", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -48,7 +51,9 @@ def main() -> None:
     os.makedirs(os.path.join(out_dir, "depths"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "normals"), exist_ok=True)
 
-    model = mvs.MVSNet()
+    depth_nums = tuple(int(x) for x in args.depth_nums.split(","))
+    model = mvs.MVSNet(mvs.CascadeConfig(depth_nums=depth_nums,
+                                         base=args.base))
     c0 = cams[0]
     import jax.numpy as jnp
     init_args = (jnp.asarray(c0.image), jnp.asarray(
