@@ -100,3 +100,39 @@ def test_empty_tiles():
     # all-empty tile rows have transmittance exactly 1
     assert np.isfinite(t_img).all()
     assert (np.asarray(got.image)[np.isclose(t_img, 1.0)] == 0).all()
+
+
+@pytest.mark.parametrize("F,K,chunk", [(5, 32, 8), (11, 64, 16),
+                                       (26, 64, 32), (3, 16, 16)])
+def test_shape_fuzz_forward_and_grads(F, K, chunk):
+    """Kernel parity across feature widths (the NeILF eval packing uses
+    F=26 blended channels) and K/chunk combinations."""
+    proj, bins0, grid, _ = make_proj(P=30, seed=F + K)
+    rng = np.random.default_rng(F)
+    P = proj.valid.shape[0]
+    feats = jnp.asarray(rng.uniform(0, 1, (P, F)).astype(np.float32))
+    bins = binning.bin_splats(proj, grid, 16, K)
+
+    ref = comp.composite(bins, proj.xy, proj.conic, proj.opacity, feats,
+                         grid, chunk=chunk)
+    with pltpu.force_tpu_interpret_mode():
+        got = cpal.composite_pallas(bins, proj.xy, proj.conic,
+                                    proj.opacity, feats, grid, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(got.image),
+                               np.asarray(ref.image), atol=3e-5, rtol=1e-4)
+
+    def loss_p(op):
+        out = cpal.composite_pallas(bins, proj.xy, proj.conic, op, feats,
+                                    grid, chunk=chunk)
+        return jnp.sum(out.image ** 2)
+
+    def loss_r(op):
+        out = comp.composite(bins, proj.xy, proj.conic, op, feats,
+                             grid, chunk=chunk)
+        return jnp.sum(out.image ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p)(proj.opacity)
+    gr = jax.grad(loss_r)(proj.opacity)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=5e-4, atol=1e-6)
