@@ -5,9 +5,10 @@ TPU-native analogue of the thesis 12-step forward
 (`rasterizer_impl.cu:213-529`, SURVEY.md §3.2): the programmable stages
 from `models.shaders` are wired around the standard rasterizer.  The
 intermediate depth/stencil pre-pass mirrors `RenderIntermediateTextures`
-(`forward.cu:271-383`) with one simplification: the stencil channel rides
-the same transmittance as depth (the reference keeps a second, separate
-stencil transmittance driven by `stencil_opacity`).
+(`forward.cu:271-383`) including the *separate* stencil transmittance:
+stencil channels are composited in a second pass whose per-splat opacity
+is the shader-controlled `stencil_opacity` (init 1,
+`rasterizer_impl.cu:279`), independent of the color alpha.
 
 All stages are differentiable; the reference's shader stages have no
 backward at all (`rasterize_points.cu:198-201`).
@@ -90,11 +91,15 @@ def render(
     bins = jax.tree.map(jax.lax.stop_gradient, bins)
 
     # --- stage 3: intermediate depth/stencil pre-pass ------------------
-    pre_feats = jnp.stack([proj.depth, stencil, jnp.ones_like(stencil)], -1)
+    pre_feats = jnp.stack([proj.depth, jnp.ones_like(stencil)], -1)
     pre = composite_dispatch(cfg, bins, proj.xy, proj.conic, proj.opacity,
                              pre_feats)
     depth_img = pre.image[: cfg.height, : cfg.width, 0]
-    stencil_img = pre.image[: cfg.height, : cfg.width, 1]
+    # stencil rides its own transmittance (stencil_opacity starts at 1)
+    pre_s = composite_dispatch(
+        cfg, bins, proj.xy, proj.conic, jnp.ones_like(proj.opacity),
+        stencil[:, None])
+    stencil_img = pre_s.image[: cfg.height, : cfg.width, 0]
 
     # --- stage 4: splat shaders ----------------------------------------
     px = jnp.clip(proj.xy[:, 0].astype(jnp.int32), 0, cfg.width - 1)
@@ -131,8 +136,7 @@ def render(
         sres["out_color"],               # 3:6  shader color
         proj.depth[:, None],             # 6
         jnp.ones_like(stencil)[:, None],  # 7 opacity
-        sres["stencil_val"][:, None],    # 8
-        sres["metallic"][:, None],       # 9 (crack-reconstruction mask)
+        sres["metallic"][:, None],       # 8 (crack-reconstruction mask)
     ], -1)
     out = composite_dispatch(cfg, bins, proj.xy, proj.conic,
                              sres["opacity"], feats)
@@ -141,6 +145,12 @@ def render(
     render_img = img[..., 0:3] + final_t[..., None] * bg_color
     shader_img = img[..., 3:6] + final_t[..., None] * bg_color
     opacity_img = img[..., 7]
+
+    # final stencil: separate transmittance from stencil_opacity
+    out_s = composite_dispatch(cfg, bins, proj.xy, proj.conic,
+                               sres["stencil_opacity"],
+                               sres["stencil_val"][:, None])
+    stencil_final = out_s.image[: cfg.height, : cfg.width, 0]
 
     # --- stage 6: post-process -----------------------------------------
     from ..ops import surface
@@ -155,10 +165,10 @@ def render(
         "shader_color": shader_img,
         "base_color": render_img,
         "depth": img[..., 6],
-        "stencil": img[..., 8],
+        "stencil": stencil_final,
         "incident_light": jnp.zeros_like(render_img),
         "pseudo_normal": pn,
-        "metallic": img[..., 9],
+        "metallic": img[..., 8],
     }
     if extra_images:
         images.update(extra_images)
@@ -170,7 +180,7 @@ def render(
         "shader": images["shader_color"],
         "depth": img[..., 6],
         "opacity": opacity_img,
-        "stencil": img[..., 8],
+        "stencil": stencil_final,
         "pseudo_normal": pn,
         "surface_xyz": sxyz,
         "final_t": final_t,
