@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 from ..ops import binning, projection
 from ..ops.rasterize import RasterizeConfig, composite_dispatch
-from ..ops import transforms as tf
 from . import gaussians as G
 from . import shaders as S
 

@@ -9,9 +9,6 @@ as two small depthwise convs that XLA fuses well.
 """
 from __future__ import annotations
 
-import functools
-import math
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ binning indices are non-differentiable (as in the reference).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ jnp, fused by XLA; the 3x3 Sobel-like stencils become two depthwise convs.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

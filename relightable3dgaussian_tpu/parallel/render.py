@@ -17,8 +17,6 @@ Tested bit-exact against the single-device step.
 """
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

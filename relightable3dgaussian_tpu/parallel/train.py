@@ -23,7 +23,6 @@ for beyond that).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -31,8 +30,6 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models import densify as D
-from ..models import gaussians as G
 from ..models import render as R
 from ..ops.rasterize import RasterizeConfig
 from ..training.trainer import TrainState
