@@ -55,7 +55,7 @@ def main() -> None:
                                  init_scale=np.full(P, 0.012, np.float32))
 
     cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=32,
-                          max_per_tile=512, chunk=32)
+                          max_per_tile=512, chunk=128)
 
     c = np.array([0.0, 0.0, 2.8])
     fwd_v = -c / np.linalg.norm(c)
@@ -97,15 +97,21 @@ def main() -> None:
     print(f"# compile+first step: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
+    # Pipelined timing: enqueue a block of steps and block once, the way a
+    # real training loop runs (per-step block_until_ready adds ~30 ms of
+    # host/relay dispatch latency per step that training never pays).
     iters = 10
-    times = []
-    for _ in range(iters):
+    medians = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        loss, grads = fwd_bwd(state.params)
-        jax.block_until_ready((loss, grads))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    print(f"# per-step times: {[round(t, 3) for t in times]}",
+        out = None
+        for _ in range(iters):
+            out = fwd_bwd(state.params)
+        jax.block_until_ready(out)
+        medians.append((time.perf_counter() - t0) / iters)
+    dt = float(np.median(medians))
+    print(f"# pipelined {iters}-step avgs: "
+          f"{[round(t, 4) for t in medians]}",
           file=sys.stderr, flush=True)
 
     mpix_s = (W * H) / dt / 1e6

@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .projection import ProjectedSplats
+from .projection import TILE, ProjectedSplats
 
 
 class TileBins(NamedTuple):
@@ -72,24 +72,48 @@ def bin_splats(
     tx = proj.rect_min[:, 0:1] + (r - q * safe_rw)
     ty = proj.rect_min[:, 1:2] + q
     inst_ok = proj.valid[:, None] & (r < tiles)
+
+    # Exact circle-vs-tile test: the rect enumeration includes corner tiles
+    # the cutoff circle never reaches (the CUDA reference pays this waste,
+    # `rasterizer_impl.cu:72-113`).  Distance from the splat center to the
+    # tile's nearest pixel center must be within the contribution radius.
+    px = jnp.clip(proj.xy[:, 0:1], tx * TILE, tx * TILE + (TILE - 1))
+    py = jnp.clip(proj.xy[:, 1:2], ty * TILE, ty * TILE + (TILE - 1))
+    dx = proj.xy[:, 0:1] - px
+    dy = proj.xy[:, 1:2] - py
+    rc = proj.cut_radius[:, None]
+    inst_ok = inst_ok & (dx * dx + dy * dy <= rc * rc)
+
     tile_id = jnp.where(inst_ok, ty * gx + tx, num_tiles)          # [P, M]
 
     dropped_rect = jnp.sum(
         jnp.where(proj.valid, jnp.maximum(proj.tiles_touched - M, 0), 0))
-    num_instances = jnp.sum(jnp.where(proj.valid,
-                                      jnp.minimum(proj.tiles_touched, M), 0))
+    num_instances = jnp.sum(inst_ok.astype(jnp.int32))
 
     gauss_id = jnp.broadcast_to(
         jnp.arange(P, dtype=jnp.int32)[:, None], (P, M))
-    depth = jnp.broadcast_to(proj.depth[:, None], (P, M))
 
-    # --- lexicographic sort by (tile, depth); padding sorts to the end ---
-    tile_flat = tile_id.reshape(-1)
-    depth_flat = depth.reshape(-1).astype(jnp.float32)
-    id_flat = gauss_id.reshape(-1)
-    tile_sorted, _, id_sorted = jax.lax.sort(
-        (tile_flat, depth_flat, id_flat), dimension=0, num_keys=2,
+    # --- sort by one packed u32 key (tile | depth-bits); padding sorts to
+    # the end.  Positive-float depth bits are order-preserving as unsigned
+    # ints, so packing the top (32 - tile_bits) bits of the depth after the
+    # tile id gives the exact (tile, ~depth) lexicographic order the
+    # reference's 64-bit radix sort produces (`rasterizer_impl.cu:104-107`),
+    # with depth quantized to >= 18 bits (ties only reorder near-equal
+    # depths within a tile).  One u32 key + one u32 value sorts ~1.5x less
+    # data than the 3-array (tile, depth, id) lexicographic sort. ---
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+    assert depth_bits >= 18, (num_tiles, "tile grid too large for u32 key")
+    depth = jnp.broadcast_to(proj.depth[:, None], (P, M))
+    dbits = jax.lax.bitcast_convert_type(
+        depth.astype(jnp.float32), jnp.uint32) >> (31 - depth_bits)
+    key = ((tile_id.astype(jnp.uint32) << depth_bits)
+           | (dbits & jnp.uint32((1 << depth_bits) - 1)))
+    key = jnp.where(inst_ok, key, jnp.uint32(0xFFFFFFFF))
+    key_sorted, id_sorted = jax.lax.sort(
+        (key.reshape(-1), gauss_id.reshape(-1)), dimension=0, num_keys=1,
         is_stable=False)
+    tile_sorted = (key_sorted >> depth_bits).astype(jnp.int32)
 
     # --- per-tile ranges ---
     boundaries = jnp.searchsorted(
@@ -98,13 +122,14 @@ def bin_splats(
     starts = boundaries[:-1]
     counts = boundaries[1:] - starts
 
-    # --- dense [T, K] gather (jnp.take: fancy indexing lowers to a far
-    # slower gather on TPU) ---
+    # --- dense [T, K] lists: one windowed dynamic-slice gather per tile
+    # (K consecutive elements starting at starts[t]) — wide contiguous
+    # transactions instead of T*K scalar gathers (~10x on TPU) ---
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
-    pos = starts[:, None] + slot
     mask = slot < counts[:, None]
-    idx = jnp.take(id_sorted, jnp.clip(pos, 0, tile_flat.shape[0] - 1),
-                   axis=0)
+    id_padded = jnp.pad(id_sorted, (0, K))
+    idx = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(id_padded, (s,), (K,)))(starts)
     idx = jnp.where(mask, idx, 0)
 
     dropped_tile = jnp.sum(jnp.maximum(counts - K, 0))

@@ -287,6 +287,46 @@ def _backward_one_tile(counts_ref, data_ref, gimg_ref, gt_ref,
     jax.lax.fori_loop(0, n_done, bbody, g_log_t0)
 
 
+# Gradient-reduction strategy for the row gather's transpose:
+#   "scatter": plain jnp scatter-add transpose (XLA default).
+#   "segment": sort the incoming cotangent rows by gaussian id, then a
+#     sorted segment_sum (indices_are_sorted).
+# Measured on v5e at 800²/552k instances: scatter 56.9 ms/step vs
+# segment 61.0 — the sort+permute-gather+segment-reduce costs more than
+# XLA's row-serial scatter.  Kept for re-evaluation at other scales.
+GATHER_VJP = "scatter"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows(packed, idx, P):
+    """jnp.take(packed, idx, axis=0) with a sort-based gradient reduction."""
+    return jnp.take(packed, idx, axis=0)
+
+
+def _gather_rows_fwd(packed, idx, P):
+    return jnp.take(packed, idx, axis=0), idx
+
+
+def _gather_rows_bwd(P, idx, g):
+    D = g.shape[-1]
+    idx_flat = idx.reshape(-1)
+    g_flat = g.reshape(-1, D)
+    if GATHER_VJP == "segment":
+        n = idx_flat.shape[0]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        ids_sorted, perm = jax.lax.sort(
+            (idx_flat, iota), dimension=0, num_keys=1, is_stable=False)
+        gs = jnp.take(g_flat, perm, axis=0)
+        out = jax.ops.segment_sum(
+            gs, ids_sorted, num_segments=P, indices_are_sorted=True)
+    else:
+        out = jnp.zeros((P, D), g.dtype).at[idx_flat].add(g_flat)
+    return out, None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _composite_core(data, counts, grid, chunk, F):
     return _core_fwd_impl(data, counts, grid, chunk, F)
@@ -398,7 +438,7 @@ def composite_pallas(
     # than four separate fancy-index gathers + concat.
     packed = jnp.concatenate(
         [xy, conic, opacity[:, None], feats], axis=-1)     # [P, D]
-    data = jnp.take(packed, bins.idx, axis=0)              # [T, K, D]
+    data = gather_rows(packed, bins.idx, packed.shape[0])  # [T, K, D]
 
     img, final_t, last = _composite_core(
         data, bins.counts, grid, chunk, F)

@@ -22,28 +22,33 @@ def psnr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
 
-def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
-    x = jnp.arange(size, dtype=jnp.float32) - size // 2
-    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
-    return g / jnp.sum(g)
+def _gaussian_window(size: int, sigma: float):
+    import numpy as np
+    x = np.arange(size, dtype=np.float32) - size // 2
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
+    return g / np.sum(g)
 
 
 def _sep_filter2d(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable 2D filter on [H, W, C] with same padding."""
+    """Depthwise separable 2D filter on [H, W, C] with same (zero) padding.
+
+    Implemented as unrolled static-shift weighted adds rather than
+    `conv_general_dilated` with `feature_group_count=C`: grouped depthwise
+    convs lower to per-group micro-convs on TPU (~20 ms for an 800²x15
+    SSIM stack), while the 2x11 shifted adds fuse into two elementwise
+    XLA kernels (~1 ms).  Requires a concrete (non-traced) kernel.
+    """
     H, W, C = img.shape
     n = k.shape[0]
     pad = n // 2
-    x = img[None]  # [1, H, W, C]
-    kh = jnp.tile(k.reshape(1, n, 1, 1), (1, 1, 1, C))
-    kw = jnp.tile(k.reshape(n, 1, 1, 1), (1, 1, 1, C))
-    dn = jax.lax.conv_dimension_numbers(x.shape, (1, n, 1, C), ("NHWC", "HWIO", "NHWC"))
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
-        feature_group_count=C)
-    x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
-        feature_group_count=C)
-    return x[0]
+    kv = [float(v) for v in k]
+    x = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)))
+    x = sum(kv[i] * jax.lax.slice_in_dim(x, i, i + H, axis=0)
+            for i in range(n))
+    x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    x = sum(kv[i] * jax.lax.slice_in_dim(x, i, i + W, axis=1)
+            for i in range(n))
+    return x
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
