@@ -91,22 +91,34 @@ def _chunk_quantities(data_ref, tb, k0, C, F, count, pixx, pixy):
 
 
 def _forward_kernel(counts_ref, data_ref, img_ref, t_ref, last_ref,
+                    ckpt_t_ref, ckpt_s_ref,
                     *, C: int, F: int, K: int, gx: int):
     nchunks = K // C
     for tb in range(TB):
         _forward_one_tile(counts_ref, data_ref, img_ref, t_ref, last_ref,
+                          ckpt_t_ref, ckpt_s_ref,
                           tb, C=C, F=F, nchunks=nchunks, gx=gx)
 
 
-def _forward_one_tile(counts_ref, data_ref, img_ref, t_ref, last_ref, tb,
+def _forward_one_tile(counts_ref, data_ref, img_ref, t_ref, last_ref,
+                      ckpt_t_ref, ckpt_s_ref, tb,
                       *, C: int, F: int, nchunks: int, gx: int):
     tile_id = pl.program_id(0) * TB + tb
     pixx, pixy = _pixel_coords(gx, tile_id)
     count = counts_ref[tile_id]
 
+    # Per-chunk entry checkpoints (logT, stopped) streamed to the backward
+    # kernel so it can start its reverse sweep directly — no recompute
+    # forward sweep.  [nchunks, P2] per tile ≈ 10 MB per pass at 800² with
+    # C=128: negligible HBM traffic for ~40% less backward compute.
+    ckpt_t_ref[tb] = jnp.zeros((nchunks, P2), jnp.float32)
+    ckpt_s_ref[tb] = jnp.full((nchunks, P2), 2.0, jnp.float32)
+
     def body(carry):
         c, log_t, stopped_f, accum, last = carry
         stopped = stopped_f > 0.5
+        ckpt_t_ref[tb, pl.ds(c, 1), :] = log_t
+        ckpt_s_ref[tb, pl.ds(c, 1), :] = stopped_f
         alpha, valid, feat = _chunk_quantities(
             data_ref, tb, c * C, C, F, count, pixx, pixy)
 
@@ -156,64 +168,44 @@ def _forward_one_tile(counts_ref, data_ref, img_ref, t_ref, last_ref, tb,
     last_ref[tb] = last
 
 
-def _backward_kernel(counts_ref, data_ref, gimg_ref, gt_ref,
-                     gdata_ref, ckpt_t_ref, ckpt_s_ref,
+def _backward_kernel(counts_ref, data_ref, gimg_ref, gt_ref, ft_ref,
+                     ckpt_t_ref, ckpt_s_ref, gdata_ref,
                      *, C: int, F: int, K: int, gx: int):
     nchunks = K // C
     for tb in range(TB):
-        _backward_one_tile(counts_ref, data_ref, gimg_ref, gt_ref,
-                           gdata_ref, ckpt_t_ref, ckpt_s_ref, tb,
+        _backward_one_tile(counts_ref, data_ref, gimg_ref, gt_ref, ft_ref,
+                           ckpt_t_ref, ckpt_s_ref, gdata_ref, tb,
                            C=C, F=F, nchunks=nchunks, gx=gx)
 
 
-def _backward_one_tile(counts_ref, data_ref, gimg_ref, gt_ref,
-                       gdata_ref, ckpt_t_ref, ckpt_s_ref, tb,
+def _backward_one_tile(counts_ref, data_ref, gimg_ref, gt_ref, ft_ref,
+                       ckpt_t_ref, ckpt_s_ref, gdata_ref, tb,
                        *, C: int, F: int, nchunks: int, gx: int):
     tile_id = pl.program_id(0) * TB + tb
     pixx, pixy = _pixel_coords(gx, tile_id)
     count = counts_ref[tile_id]
     g_accum = gimg_ref[tb]                              # [P2, F]
 
-    # ---- forward sweep: store per-chunk carry checkpoints ----
-    def fbody(carry):
-        c, log_t, stopped_f = carry
-        stopped = stopped_f > 0.5
-        ckpt_t_ref[c] = log_t[0]
-        ckpt_s_ref[c] = stopped_f[0].astype(jnp.int32)
-        alpha, valid, _ = _chunk_quantities(
-            data_ref, tb, c * C, C, F, count, pixx, pixy)
-        la_all = jnp.log1p(-jnp.where(valid, alpha, 0.0))
-        cum = _cumsum0(la_all)
-        t_before = jnp.exp(log_t + cum - la_all)
-        trigger = valid & (t_before * (1.0 - alpha) < T_STOP)
-        trig_cum = _cumsum0(trigger.astype(jnp.float32))
-        stopped_before = stopped | (
-            (trig_cum - trigger.astype(jnp.float32)) > 0.5)
-        applied = valid & ~stopped_before & ~trigger
-        la = jnp.log1p(-jnp.where(applied, alpha, 0.0))
-        log_t = log_t + jnp.sum(la, axis=0)[None, :]
-        stopped = stopped | jnp.any(trigger & ~stopped_before, axis=0)
-        return c + 1, log_t, stopped.astype(jnp.float32)
-
-    def fcond(carry):
-        c = carry[0]
-        stopped_f = carry[2]
-        return (c * C < count) & (c < nchunks) & (jnp.min(stopped_f) < 0.5)
-
-    init = (jnp.int32(0), jnp.zeros((1, P2), jnp.float32),
-            jnp.zeros((1, P2), jnp.float32))
-    n_done, log_t_final, _ = jax.lax.while_loop(fcond, fbody, init)
-
-    # final_t gradient enters through log_t of the last processed chunk
-    g_log_t0 = gt_ref[tb] * jnp.exp(log_t_final)         # [1, P2]
+    # final_t gradient enters through log_t of the last processed chunk;
+    # final_t = exp(log_t_final) was saved by the forward.
+    g_log_t0 = gt_ref[tb] * ft_ref[tb]                   # [1, P2]
 
     gdata_ref[tb] = jnp.zeros((nchunks * C, 6 + F), jnp.float32)
 
-    # ---- reverse sweep ----
+    # A chunk was processed by the forward iff some pixel was still
+    # integrating at its entry (checkpoint sentinel stopped=2 marks chunks
+    # never reached) and it starts below count — exactly the forward's
+    # while condition, so the processed chunks are the prefix [0, n_done).
+    entry_mins = jnp.min(ckpt_s_ref[tb], axis=1, keepdims=True)  # [nc, 1]
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nchunks, 1), 0)
+    n_done = jnp.sum(((entry_mins < 0.5) & (c_iota * C < count))
+                     .astype(jnp.int32))
+
+    # ---- reverse sweep over the forward's per-chunk entry checkpoints ----
     def bbody(i, g_log_t):
         c = n_done - 1 - i
-        log_t = ckpt_t_ref[c][None, :]
-        stopped = ckpt_s_ref[c][None, :] > 0
+        log_t = ckpt_t_ref[tb, pl.ds(c, 1), :].reshape(1, P2)
+        stopped = ckpt_s_ref[tb, pl.ds(c, 1), :].reshape(1, P2) > 0.5
 
         chunk_d = data_ref[tb, pl.ds(c * C, C), :]
         xs = chunk_d[:, 0:1]
@@ -332,7 +324,7 @@ def _composite_core(data, counts, grid, chunk, F):
     return _core_fwd_impl(data, counts, grid, chunk, F)
 
 
-def _core_fwd_impl(data, counts, grid, chunk, F):
+def _core_fwd_impl(data, counts, grid, chunk, F, *, want_ckpt=False):
     gx, gy = grid
     T0, K, D = data.shape
     padT = (-T0) % TB
@@ -340,6 +332,7 @@ def _core_fwd_impl(data, counts, grid, chunk, F):
         data = jnp.pad(data, ((0, padT), (0, 0), (0, 0)))
         counts = jnp.pad(counts, (0, padT))
     T = T0 + padT
+    nchunks = K // chunk
     kern = functools.partial(_forward_kernel, C=chunk, F=F, K=K, gx=gx)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -355,28 +348,38 @@ def _core_fwd_impl(data, counts, grid, chunk, F):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
-    img, final_t, last = pl.pallas_call(
+    img, final_t, last, ckpt_t, ckpt_s = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, P2, F), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P2), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P2), jnp.int32),
+            jax.ShapeDtypeStruct((T, nchunks, P2), jnp.float32),
+            jax.ShapeDtypeStruct((T, nchunks, P2), jnp.float32),
         ],
     )(counts, data)
-    return (img[:T0], final_t.reshape(T, P2)[:T0],
-            last.reshape(T, P2)[:T0])
+    out = (img[:T0], final_t.reshape(T, P2)[:T0],
+           last.reshape(T, P2)[:T0])
+    if want_ckpt:
+        return out, (final_t, ckpt_t, ckpt_s)
+    return out
 
 
 def _core_fwd(data, counts, grid, chunk, F):
-    out = _core_fwd_impl(data, counts, grid, chunk, F)
-    return out, (data, counts)
+    out, (final_t, ckpt_t, ckpt_s) = _core_fwd_impl(
+        data, counts, grid, chunk, F, want_ckpt=True)
+    return out, (data, counts, final_t, ckpt_t, ckpt_s)
 
 
 def _core_bwd(grid, chunk, F, res, cotangents):
-    data, counts = res
+    data, counts, final_t, ckpt_t, ckpt_s = res
     g_img, g_t, _ = cotangents
     gx, gy = grid
     T0, K, D = data.shape
@@ -400,19 +403,21 @@ def _core_bwd(grid, chunk, F, res, cotangents):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TB, K, D), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((nchunks, P2), jnp.float32),
-            pltpu.VMEM((nchunks, P2), jnp.int32),
-        ],
     )
     g_data = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, K, D), jnp.float32),
-    )(counts, data, g_img, g_t)
+    )(counts, data, g_img, g_t, final_t, ckpt_t, ckpt_s)
     return g_data[:T0], None
 
 
