@@ -1,0 +1,71 @@
+"""In-step A/B: chunk/K refinements + TB."""
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+
+from relightable3dgaussian_tpu.models import gaussians as G
+from relightable3dgaussian_tpu.models import render as R
+from relightable3dgaussian_tpu.ops import composite_pallas as cpal
+from relightable3dgaussian_tpu.ops.rasterize import RasterizeConfig
+from relightable3dgaussian_tpu.scene.cameras import make_camera
+
+rng = np.random.default_rng(0)
+W = H = 800
+P = 100_000
+z = rng.uniform(1.2, 4.0, P)
+half = np.tan(0.45) * z
+x = rng.uniform(-1, 1, P) * half
+y = rng.uniform(-1, 1, P) * half
+pts = np.stack([x, y, 2.8 - z], -1).astype(np.float32)
+cols = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+state = G.create_from_points(pts, cols, capacity=131_072,
+                             init_scale=np.full(P, 0.012, np.float32))
+c = np.array([0.0, 0.0, 2.8])
+fwd_v = -c / np.linalg.norm(c)
+up = np.array([0.0, 1.0, 0.0])
+r = np.cross(fwd_v, up)
+dn = np.cross(fwd_v, r)
+Rm = np.stack([r, dn, fwd_v], 1)
+cam = make_camera(uid=0, R=Rm, t=-Rm.T @ c, fovx=0.9, fovy=0.9,
+                  width=W, height=H)
+ci = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
+bg = jnp.zeros(3)
+target = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+loss_cfg = R.LossConfig(lambda_dssim=0.2)
+
+for (K, chunk, TB) in ((384, 128, 4), (288, 96, 4), (320, 64, 4),
+                       (384, 128, 8), (288, 96, 8), (288, 144, 4)):
+    cpal.TB = TB
+    cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=32,
+                          max_per_tile=K, chunk=chunk)
+
+    @jax.jit
+    def fwd_bwd(params):
+        def loss_fn(p):
+            results = R.render_view(
+                p, state.alive, ci, bg, cfg, active_sh_degree=3,
+                compute_pseudo_normal=False)
+            loss, _ = R.calculate_loss(results, {"image": target}, loss_cfg)
+            return loss, results["stats"]
+        (l, st), gr = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return l, st, gr
+
+    try:
+        out = fwd_bwd(state.params)
+        jax.block_until_ready(out)
+    except Exception as e:
+        print(f"K={K} chunk={chunk} TB={TB}: FAIL {str(e)[:120]}",
+              flush=True)
+        continue
+    st = {k: int(v) for k, v in out[1].items()}
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(10):
+            o = fwd_bwd(state.params)
+        jax.block_until_ready(o)
+        best = min(best, (time.perf_counter() - t0) / 10)
+    print(f"K={K} chunk={chunk} TB={TB}: {best*1000:.1f} ms/step  "
+          f"loss={float(out[0]):.6f} drops={st['dropped_tile']}", flush=True)
+print("done", flush=True)

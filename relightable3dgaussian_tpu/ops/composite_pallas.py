@@ -279,41 +279,53 @@ def _backward_one_tile(counts_ref, data_ref, gimg_ref, gt_ref, ft_ref,
     jax.lax.fori_loop(0, n_done, bbody, g_log_t0)
 
 
-# Gradient-reduction strategy for the row gather's transpose:
-#   "scatter": plain jnp scatter-add transpose (XLA default).
-#   "segment": sort the incoming cotangent rows by gaussian id, then a
-#     sorted segment_sum (indices_are_sorted).
-# Measured on v5e at 800²/552k instances: scatter 56.9 ms/step vs
-# segment 61.0 — the sort+permute-gather+segment-reduce costs more than
-# XLA's row-serial scatter.  Kept for re-evaluation at other scales.
-GATHER_VJP = "scatter"
+# The row gather's transpose is a scatter-add of the per-instance gradient
+# rows into [P, D].  XLA TPU scatter-add latency is dominated by the MAX
+# INDEX MULTIPLICITY, not the row count: 1.28M rows with near-unique
+# indices run in ~0.2 ms, but the same rows with the ~728k padding slots
+# all pointing at row 0 take ~21 ms (measured on v5e).  Padded slots carry
+# exactly-zero gradient rows (the backward kernel masks them), so they can
+# be redirected to unique "spread" targets — numerically a no-op, but it
+# collapses the collision chain from ~728k deep to ≤ max-instances-per-
+# gaussian.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gather_rows(packed, idx, mask, gsort_gauss, gsort_pos, P):
+    """jnp.take(packed, idx, axis=0) with a row-count-minimized grad scatter.
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def gather_rows(packed, idx, P):
-    """jnp.take(packed, idx, axis=0) with a sort-based gradient reduction."""
+    XLA TPU scatter-add is row-serial (~16 ns/row on v5e, independent of
+    index distribution and row width), so the transpose cost is set purely
+    by how many rows we scatter.  When binning supplies the compact aux
+    (gsort_gauss/gsort_pos: the sorted-prefix instances and their dense
+    [T*K] slots), the backward first gathers the real instances' gradient
+    rows into that compact order (a near-sequential cheap gather) and
+    scatters only ~num_instances rows instead of the T*K dense layout
+    (~2.3x fewer at 800²).  Padding rows carry exactly-zero gradients and
+    are spread over distinct target rows, adding nothing.
+    """
     return jnp.take(packed, idx, axis=0)
 
 
-def _gather_rows_fwd(packed, idx, P):
-    return jnp.take(packed, idx, axis=0), idx
+def _gather_rows_fwd(packed, idx, mask, gsort_gauss, gsort_pos, P):
+    return jnp.take(packed, idx, axis=0), (idx, mask, gsort_gauss, gsort_pos)
 
 
-def _gather_rows_bwd(P, idx, g):
+def _gather_rows_bwd(P, res, g):
+    idx, mask, gsort_gauss, gsort_pos = res
     D = g.shape[-1]
-    idx_flat = idx.reshape(-1)
     g_flat = g.reshape(-1, D)
-    if GATHER_VJP == "segment":
-        n = idx_flat.shape[0]
-        iota = jnp.arange(n, dtype=jnp.int32)
-        ids_sorted, perm = jax.lax.sort(
-            (idx_flat, iota), dimension=0, num_keys=1, is_stable=False)
-        gs = jnp.take(g_flat, perm, axis=0)
-        out = jax.ops.segment_sum(
-            gs, ids_sorted, num_segments=P, indices_are_sorted=True)
-    else:
-        out = jnp.zeros((P, D), g.dtype).at[idx_flat].add(g_flat)
-    return out, None
+    if gsort_gauss is not None:
+        rows = jnp.take(g_flat, gsort_pos, axis=0, mode="fill",
+                        fill_value=0.0)
+        out = jnp.zeros((P, D), g.dtype).at[gsort_gauss].add(
+            rows, mode="promise_in_bounds")
+        return out, None, None, None, None
+    n = g_flat.shape[0]
+    idx_flat = idx.reshape(-1)
+    spread = jnp.arange(n, dtype=jnp.int32) % P
+    idx_safe = jnp.where(mask.reshape(-1), idx_flat, spread)
+    out = jnp.zeros((P, D), g.dtype).at[idx_safe].add(
+        g_flat, mode="promise_in_bounds")
+    return out, None, None, None, None
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
@@ -443,7 +455,8 @@ def composite_pallas(
     # than four separate fancy-index gathers + concat.
     packed = jnp.concatenate(
         [xy, conic, opacity[:, None], feats], axis=-1)     # [P, D]
-    data = gather_rows(packed, bins.idx, packed.shape[0])  # [T, K, D]
+    data = gather_rows(packed, bins.idx, bins.mask, bins.gsort_gauss,
+                       bins.gsort_pos, packed.shape[0])    # [T, K, D]
 
     img, final_t, last = _composite_core(
         data, bins.counts, grid, chunk, F)

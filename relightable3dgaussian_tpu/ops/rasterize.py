@@ -39,6 +39,10 @@ class RasterizeConfig:
     # Compositor backend: "pallas" (TPU kernel, ops.composite_pallas),
     # "jnp" (XLA scan twin), or "auto" (pallas on TPU, jnp elsewhere).
     backend: str = "auto"
+    # Static capacity for the compact gradient reduction (instances beyond
+    # it lose their parameter gradients — watch stats["dropped_grad"]).
+    # None keeps the dense scatter transpose (always exact).
+    max_grad_instances: int | None = None
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -128,7 +132,8 @@ def rasterize(
     )
 
     bins = binning.bin_splats(
-        proj, cfg.grid, cfg.max_tiles_per_gaussian, cfg.max_per_tile)
+        proj, cfg.grid, cfg.max_tiles_per_gaussian, cfg.max_per_tile,
+        grad_cap=cfg.max_grad_instances)
     # Indices are integer routing decisions, never differentiated.
     bins = jax.tree.map(jax.lax.stop_gradient, bins)
 
@@ -162,5 +167,7 @@ def rasterize(
             "num_instances": bins.num_instances,
             "dropped_rect": bins.dropped_rect,
             "dropped_tile": bins.dropped_tile,
+            **({"dropped_grad": bins.dropped_grad}
+               if bins.dropped_grad is not None else {}),
         },
     )

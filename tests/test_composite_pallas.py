@@ -89,6 +89,31 @@ def test_gradients_match_jnp():
             err_msg=f"grad mismatch: {n}")
 
 
+def test_compact_grad_reduction_exact():
+    """The capped compact gradient reduction (binning grad_cap) must give
+    bit-equal gradients to the dense scatter transpose whenever the cap
+    covers every real instance."""
+    proj, bins_dense, grid, feats = make_proj(P=40, seed=11)
+    bins_compact = binning.bin_splats(proj, grid, 32, 64,
+                                      grad_cap=proj.valid.shape[0] * 32)
+    assert bins_compact.gsort_gauss is not None
+    assert int(bins_compact.dropped_grad) == 0
+
+    def loss(binz, xy, conic, op, feats):
+        out = cpal.composite_pallas(binz, xy, conic, op, feats, grid,
+                                    chunk=16)
+        return jnp.sum(out.image ** 2) + jnp.sum(out.final_t ** 2)
+
+    args = (proj.xy, proj.conic, proj.opacity, feats)
+    with pltpu.force_tpu_interpret_mode():
+        g_dense = jax.grad(loss, argnums=(1, 2, 3, 4))(bins_dense, *args)
+        g_comp = jax.grad(loss, argnums=(1, 2, 3, 4))(bins_compact, *args)
+    for n, a, b in zip(["xy", "conic", "op", "feats"], g_comp, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"compact grad mismatch: {n}")
+
+
 def test_empty_tiles():
     """Tiles with zero splats produce background only."""
     proj, bins, grid, feats = make_proj(P=4, seed=9)
