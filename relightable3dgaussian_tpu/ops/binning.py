@@ -43,6 +43,72 @@ class TileBins(NamedTuple):
     dropped_grad: jnp.ndarray | None = None  # [] int32 instances beyond cap
 
 
+def expand_instance_keys(
+    proj: ProjectedSplats,
+    grid: tuple[int, int],
+    max_tiles_per_gaussian: int,
+):
+    """Enumerate (splat, tile) instances and pack their sort keys.
+
+    Shared by `bin_splats` (single device) and `parallel.route` (the
+    distributed point→tile all-to-all, which sorts by the same key —
+    destination members own contiguous tile ranges, so tile-major key
+    order is also destination-major).
+
+    Returns (key [P, M] uint32 — tile<<depth_bits | depth-msbs, padding
+    slots = 0xFFFFFFFF; gauss_id [P, M] int32; num_instances [];
+    dropped_rect []; depth_bits int static).
+    """
+    gx, gy = grid
+    num_tiles = gx * gy
+    P = proj.valid.shape[0]
+    M = max_tiles_per_gaussian
+
+    r = jnp.arange(M, dtype=jnp.int32)[None, :]                    # [1, M]
+    rw = (proj.rect_max[:, 0] - proj.rect_min[:, 0])[:, None]      # [P, 1]
+    tiles = proj.tiles_touched[:, None]                            # [P, 1]
+    safe_rw = jnp.maximum(rw, 1)
+    # r // rw and r % rw via float reciprocal — vectorized int32 division
+    # is very slow on the TPU VPU.  Exact for r < 2^10, rw < 2^10.
+    q = jnp.floor((r.astype(jnp.float32) + 0.5)
+                  / safe_rw.astype(jnp.float32)).astype(jnp.int32)
+    tx = proj.rect_min[:, 0:1] + (r - q * safe_rw)
+    ty = proj.rect_min[:, 1:2] + q
+    inst_ok = proj.valid[:, None] & (r < tiles)
+
+    # Exact circle-vs-tile test: drop corner tiles the cutoff circle
+    # never reaches (the CUDA reference pays this waste,
+    # `rasterizer_impl.cu:72-113`).
+    px = jnp.clip(proj.xy[:, 0:1], tx * TILE, tx * TILE + (TILE - 1))
+    py = jnp.clip(proj.xy[:, 1:2], ty * TILE, ty * TILE + (TILE - 1))
+    dx = proj.xy[:, 0:1] - px
+    dy = proj.xy[:, 1:2] - py
+    rc = proj.cut_radius[:, None]
+    inst_ok = inst_ok & (dx * dx + dy * dy <= rc * rc)
+
+    tile_id = jnp.where(inst_ok, ty * gx + tx, num_tiles)          # [P, M]
+    dropped_rect = jnp.sum(
+        jnp.where(proj.valid, jnp.maximum(proj.tiles_touched - M, 0), 0))
+    num_instances = jnp.sum(inst_ok.astype(jnp.int32))
+    gauss_id = jnp.broadcast_to(
+        jnp.arange(P, dtype=jnp.int32)[:, None], (P, M))
+
+    # One packed u32 (tile | depth-msbs) key: positive-float depth bits
+    # are order-preserving as unsigned ints, so this reproduces the
+    # reference's 64-bit (tile, depth) radix order
+    # (`rasterizer_impl.cu:104-107`) with depth quantized to >= 18 bits.
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+    assert depth_bits >= 18, (num_tiles, "tile grid too large for u32 key")
+    depth = jnp.broadcast_to(proj.depth[:, None], (P, M))
+    dbits = jax.lax.bitcast_convert_type(
+        depth.astype(jnp.float32), jnp.uint32) >> (31 - depth_bits)
+    key = ((tile_id.astype(jnp.uint32) << depth_bits)
+           | (dbits & jnp.uint32((1 << depth_bits) - 1)))
+    key = jnp.where(inst_ok, key, jnp.uint32(0xFFFFFFFF))
+    return key, gauss_id, num_instances, dropped_rect, depth_bits
+
+
 def bin_splats(
     proj: ProjectedSplats,
     grid: tuple[int, int],
@@ -67,57 +133,8 @@ def bin_splats(
     M = max_tiles_per_gaussian
     K = max_per_tile
 
-    # --- expand: one instance per (splat, local tile slot) ---
-    r = jnp.arange(M, dtype=jnp.int32)[None, :]                    # [1, M]
-    rw = (proj.rect_max[:, 0] - proj.rect_min[:, 0])[:, None]      # [P, 1]
-    tiles = proj.tiles_touched[:, None]                            # [P, 1]
-    safe_rw = jnp.maximum(rw, 1)
-    # r // rw and r % rw via float reciprocal — vectorized int32 division
-    # is very slow on the TPU VPU.  Exact for r < 2^10, rw < 2^10:
-    # (r + 0.5)/rw lies strictly inside (q, q+1).
-    q = jnp.floor((r.astype(jnp.float32) + 0.5)
-                  / safe_rw.astype(jnp.float32)).astype(jnp.int32)
-    tx = proj.rect_min[:, 0:1] + (r - q * safe_rw)
-    ty = proj.rect_min[:, 1:2] + q
-    inst_ok = proj.valid[:, None] & (r < tiles)
-
-    # Exact circle-vs-tile test: the rect enumeration includes corner tiles
-    # the cutoff circle never reaches (the CUDA reference pays this waste,
-    # `rasterizer_impl.cu:72-113`).  Distance from the splat center to the
-    # tile's nearest pixel center must be within the contribution radius.
-    px = jnp.clip(proj.xy[:, 0:1], tx * TILE, tx * TILE + (TILE - 1))
-    py = jnp.clip(proj.xy[:, 1:2], ty * TILE, ty * TILE + (TILE - 1))
-    dx = proj.xy[:, 0:1] - px
-    dy = proj.xy[:, 1:2] - py
-    rc = proj.cut_radius[:, None]
-    inst_ok = inst_ok & (dx * dx + dy * dy <= rc * rc)
-
-    tile_id = jnp.where(inst_ok, ty * gx + tx, num_tiles)          # [P, M]
-
-    dropped_rect = jnp.sum(
-        jnp.where(proj.valid, jnp.maximum(proj.tiles_touched - M, 0), 0))
-    num_instances = jnp.sum(inst_ok.astype(jnp.int32))
-
-    gauss_id = jnp.broadcast_to(
-        jnp.arange(P, dtype=jnp.int32)[:, None], (P, M))
-
-    # --- sort by one packed u32 key (tile | depth-bits); padding sorts to
-    # the end.  Positive-float depth bits are order-preserving as unsigned
-    # ints, so packing the top (32 - tile_bits) bits of the depth after the
-    # tile id gives the exact (tile, ~depth) lexicographic order the
-    # reference's 64-bit radix sort produces (`rasterizer_impl.cu:104-107`),
-    # with depth quantized to >= 18 bits (ties only reorder near-equal
-    # depths within a tile).  One u32 key + one u32 value sorts ~1.5x less
-    # data than the 3-array (tile, depth, id) lexicographic sort. ---
-    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
-    depth_bits = 32 - tile_bits
-    assert depth_bits >= 18, (num_tiles, "tile grid too large for u32 key")
-    depth = jnp.broadcast_to(proj.depth[:, None], (P, M))
-    dbits = jax.lax.bitcast_convert_type(
-        depth.astype(jnp.float32), jnp.uint32) >> (31 - depth_bits)
-    key = ((tile_id.astype(jnp.uint32) << depth_bits)
-           | (dbits & jnp.uint32((1 << depth_bits) - 1)))
-    key = jnp.where(inst_ok, key, jnp.uint32(0xFFFFFFFF))
+    key, gauss_id, num_instances, dropped_rect, depth_bits = (
+        expand_instance_keys(proj, grid, M))
     key_sorted, id_sorted = jax.lax.sort(
         (key.reshape(-1), gauss_id.reshape(-1)), dimension=0, num_keys=1,
         is_stable=False)

@@ -106,6 +106,84 @@ def _chunk_body(pixx, pixy, carry, chunk, *, xy, conic, opacity, feats):
     return (t_new, stopped_new, accum, last), None
 
 
+def composite_from_data(
+    data: jnp.ndarray,
+    counts: jnp.ndarray,
+    tile_ids: jnp.ndarray,
+    grid: tuple[int, int],
+    chunk: int = 32,
+):
+    """jnp twin of `composite_pallas_from_data`: tile-major compositing of
+    pre-gathered instance rows [Tl, K, 6+F] (xy|conic|opacity|feats),
+    counts [Tl], global tile_ids [Tl].  Returns (img [Tl, 256, F],
+    final_t [Tl, 256], n_contrib [Tl, 256])."""
+    gx, gy = grid
+    Tl, K, D = data.shape
+    F = D - 6
+    P2 = TILE * TILE
+    assert K % chunk == 0, (K, chunk)
+    nchunks = K // chunk
+
+    p = jnp.arange(P2, dtype=jnp.int32)
+    pixx = ((tile_ids % gx)[:, None] * TILE + (p % TILE)[None, :]
+            ).astype(jnp.float32)
+    pixy = ((tile_ids // gx)[:, None] * TILE + (p // TILE)[None, :]
+            ).astype(jnp.float32)
+
+    chunks = jnp.moveaxis(data.reshape(Tl, nchunks, chunk, D), 1, 0)
+    k_offsets = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+
+    def body(carry, inp):
+        t_cur, stopped, accum, last = carry
+        cdata, k_off = inp
+        g_xy = cdata[..., 0:2]
+        g_con = cdata[..., 2:5]
+        g_op = cdata[..., 5]
+        g_feat = cdata[..., 6:]
+        k_ids = k_off + jnp.arange(chunk, dtype=jnp.int32)
+        msk = k_ids[None, :] < counts[:, None]
+
+        dx = g_xy[..., 0][:, :, None] - pixx[:, None, :]
+        dy = g_xy[..., 1][:, :, None] - pixy[:, None, :]
+        a = g_con[..., 0][:, :, None]
+        b = g_con[..., 1][:, :, None]
+        c = g_con[..., 2][:, :, None]
+        power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+        alpha = jnp.minimum(ALPHA_MAX, g_op[..., None] * jnp.exp(power))
+        valid = msk[..., None] & (power <= 0.0) & (alpha >= ALPHA_MIN)
+        ea = jnp.where(valid, alpha, 0.0)
+        cum = jnp.cumprod(1.0 - ea, axis=1)
+        excl = jnp.concatenate(
+            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1)
+        t_before = t_cur[:, None, :] * excl
+        trigger = valid & (t_before * (1.0 - alpha) < T_STOP)
+        trig_cum = jnp.cumsum(trigger.astype(jnp.int32), axis=1)
+        stopped_before = stopped[:, None, :] | ((trig_cum - trigger) > 0)
+        applied = valid & ~stopped_before & ~trigger
+        w = jnp.where(applied, alpha * t_before, 0.0)
+        accum = accum + jax.lax.dot_general(
+            w, g_feat, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        t_new = t_cur * jnp.prod(
+            jnp.where(applied, 1.0 - alpha, 1.0), axis=1)
+        stopped_new = stopped | jnp.any(trigger & ~stopped_before, axis=1)
+        contrib = jnp.max(
+            jnp.where(applied, k_ids[None, :, None] + 1, 0), axis=1)
+        last = jnp.maximum(last, contrib)
+        return (t_new, stopped_new, accum, last), None
+
+    init = (
+        jnp.ones((Tl, P2), jnp.float32),
+        jnp.zeros((Tl, P2), bool),
+        jnp.zeros((Tl, P2, F), jnp.float32),
+        jnp.zeros((Tl, P2), jnp.int32),
+    )
+    (final_t, _, accum, last), _ = jax.lax.scan(
+        jax.checkpoint(body), init, (chunks, k_offsets))
+    return accum, final_t, last
+
+
 def composite(
     bins: TileBins,
     xy: jnp.ndarray,

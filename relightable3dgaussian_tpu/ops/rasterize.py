@@ -68,13 +68,12 @@ def composite_dispatch(cfg: RasterizeConfig, bins, xy, conic, opacity,
     tile-sharded)."""
     backend = cfg.backend
     if backend == "auto":
-        backend = "pallas" if (
-            jax.default_backend() == "tpu" and cfg.tile_axis is None
-        ) else "jnp"
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if backend == "pallas":
         from . import composite_pallas as cpal
         return cpal.composite_pallas(
-            bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk)
+            bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk,
+            tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)
     return comp.composite(
         bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk,
         tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)

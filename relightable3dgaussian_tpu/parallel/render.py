@@ -96,16 +96,120 @@ def render_point_sharded(
     }
 
 
+def render_point_sharded_routed(
+    params: G.GaussianParams,
+    alive: jnp.ndarray,
+    camera: dict[str, jnp.ndarray],
+    bg_color: jnp.ndarray,
+    cfg: RasterizeConfig,
+    axis: str,
+    nshards: int,
+    active_sh_degree: int = 3,
+    route_cap: int | None = None,
+    backend: str = "auto",
+):
+    """Fully sharded forward: point-sharded preprocess → instance
+    all-to-all (`parallel.route`) → tile-sharded compositing, with no
+    full-P replication anywhere (call inside shard_map over `axis`).
+
+    Per-member memory: P/S parameters + the route buffers
+    (S × route_cap rows) + T/S dense tile lists — all shrink with the
+    mesh, unlike the all_gather stand-in `render_point_sharded`.
+    """
+    import jax as _jax
+    from ..ops import composite_pallas as cpal
+    from . import route as route_mod
+
+    N = params.capacity
+    assert N % nshards == 0, (N, nshards)
+    Pl = N // nshards
+    my = jax.lax.axis_index(axis)
+
+    def sl(x):
+        return jax.lax.dynamic_slice_in_dim(x, my * Pl, Pl, axis=0)
+
+    p_sl = jax.tree.map(sl, params)
+    alive_sl = sl(alive)
+
+    proj_sl = projection.preprocess(
+        p_sl.xyz, G.get_scaling(p_sl), G.get_rotation(p_sl),
+        G.get_opacity(p_sl), alive_sl,
+        camera["w2c"], camera["full_proj"], camera["campos"],
+        cfg.width, cfg.height,
+        camera["focal"][0], camera["focal"][1],
+        camera["tan_fov"][0], camera["tan_fov"][1],
+        sh_coeffs=G.get_shs(p_sl), active_sh_degree=active_sh_degree,
+        scale_modifier=cfg.scale_modifier, znear=cfg.znear)
+    feats_sl = jnp.concatenate(
+        [proj_sl.rgb, proj_sl.depth[:, None],
+         jnp.ones_like(proj_sl.depth)[:, None], G.get_normal(p_sl)], -1)
+    payload_sl = jnp.concatenate(
+        [proj_sl.xy, proj_sl.conic, proj_sl.opacity[:, None], feats_sl],
+        axis=-1)
+
+    if route_cap is None:
+        # default: 2x a balanced share of the worst-case local expansion
+        route_cap = max(
+            2 * Pl * cfg.max_tiles_per_gaussian // nshards, 4096)
+
+    routed = route_mod.route_instances(
+        proj_sl, payload_sl, cfg.grid, axis, nshards,
+        cfg.max_tiles_per_gaussian, cfg.max_per_tile, route_cap)
+
+    if backend == "auto":
+        backend = "pallas" if _jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
+        img, final_t, last = cpal.composite_pallas_from_data(
+            routed.data, routed.counts, routed.tile_ids, cfg.grid,
+            chunk=cfg.chunk)
+    else:
+        img, final_t, last = comp.composite_from_data(
+            routed.data, routed.counts, routed.tile_ids, cfg.grid,
+            chunk=cfg.chunk)
+
+    # assemble the full image (loss consumes it replicated, as in the
+    # all_gather variant; a sharded loss can keep shards instead)
+    gather = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
+    gx, gy = cfg.grid
+    T = gx * gy
+    img = cpal.untile_rows(gather(img)[:T], cfg.grid)
+    final_t = cpal.untile_rows(gather(final_t)[:T], cfg.grid)
+
+    img = img[: cfg.height, : cfg.width]
+    final_t = final_t[: cfg.height, : cfg.width]
+    radii = gather(proj_sl.radius)
+    return {
+        "render": img[..., 0:3] + final_t[..., None] * bg_color,
+        "depth": img[..., 3],
+        "opacity": img[..., 4],
+        "normal": img[..., 5:8],
+        "final_t": final_t,
+        "radii": radii,
+        "visibility_filter": radii > 0,
+        "stats": {
+            "dropped_rect": jax.lax.psum(routed.dropped_rect, axis),
+            "dropped_route": jax.lax.psum(routed.dropped_route, axis),
+            "dropped_tile": jax.lax.psum(routed.dropped_tile, axis),
+            "num_instances": jax.lax.psum(routed.num_instances, axis),
+        },
+    }
+
+
 def make_tp_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     cfg: RasterizeConfig,
     loss_cfg: R.LossConfig,
     sh_deg: int = 3,
+    reshard: str = "route",
 ):
     """Training step with data-parallel cameras x Gaussian/tile-sharded
     rendering.  Parameter gradients: psum over the model axis (disjoint
-    slices), pmean over data."""
+    slices), pmean over data.
+
+    reshard: "route" = instance all-to-all (memory/bandwidth scale with
+    the mesh); "gather" = all_gather replication (round-1 stand-in, kept
+    as oracle)."""
     ndata = mesh.shape["data"]
     ntile = mesh.shape["tile"]
 
@@ -115,9 +219,14 @@ def make_tp_train_step(
         def local_loss(p):
             def one(cam_gt):
                 cam, gt = cam_gt
-                res = render_point_sharded(
-                    p, gs.alive, cam, bg, cfg, "tile", ntile,
-                    active_sh_degree=sh_deg)
+                if reshard == "route":
+                    res = render_point_sharded_routed(
+                        p, gs.alive, cam, bg, cfg, "tile", ntile,
+                        active_sh_degree=sh_deg)
+                else:
+                    res = render_point_sharded(
+                        p, gs.alive, cam, bg, cfg, "tile", ntile,
+                        active_sh_degree=sh_deg)
                 loss, tb = R.calculate_loss(res, {"image": gt}, loss_cfg)
                 return loss, tb
             losses, tbs = jax.lax.map(one, (cameras, gt_images))

@@ -114,6 +114,43 @@ def test_compact_grad_reduction_exact():
                                    err_msg=f"compact grad mismatch: {n}")
 
 
+def test_from_data_tile_subset_matches_twin():
+    """composite_pallas_from_data on an arbitrary tile subset (as the
+    routed/sharded paths use it) == the jnp from-data twin == the full
+    bins compositor on those tiles."""
+    proj, bins, grid, feats = make_proj(P=60, seed=5)
+    packed = jnp.concatenate(
+        [proj.xy, proj.conic, proj.opacity[:, None], feats], axis=-1)
+    data = jnp.take(packed, bins.idx.reshape(-1), axis=0).reshape(
+        bins.idx.shape + (packed.shape[-1],))
+    T = bins.idx.shape[0]
+    sel = jnp.asarray([1, 3, 4, 7, T - 1], jnp.int32)  # arbitrary subset
+    data_s = jnp.take(data, sel, axis=0)
+    counts_s = jnp.take(bins.counts, sel)
+
+    ref_img, ref_t, ref_last = comp.composite_from_data(
+        data_s, counts_s, sel, grid, chunk=16)
+    with pltpu.force_tpu_interpret_mode():
+        img, ft, last = cpal.composite_pallas_from_data(
+            data_s, counts_s, sel, grid, chunk=16)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ft), np.asarray(ref_t),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(last), np.asarray(ref_last))
+
+    # and against the full compositor's same tile rows
+    full = comp.composite(bins, proj.xy, proj.conic, proj.opacity, feats,
+                          grid, chunk=16)
+    gx = grid[0]
+    for i, t in enumerate(np.asarray(sel)):
+        ty, tx = t // gx, t % gx
+        tile_px = np.asarray(full.image)[ty * 16:(ty + 1) * 16,
+                                         tx * 16:(tx + 1) * 16]
+        got_px = np.asarray(img)[i].reshape(16, 16, -1)
+        np.testing.assert_allclose(got_px, tile_px, atol=3e-5, rtol=1e-4)
+
+
 def test_empty_tiles():
     """Tiles with zero splats produce background only."""
     proj, bins, grid, feats = make_proj(P=4, seed=9)

@@ -115,6 +115,42 @@ def test_sharded_train_step_runs_and_matches_gradients():
         np.asarray(new1.gaussians.params.xyz), atol=1e-5)
 
 
+def test_routed_render_matches_unsharded():
+    """The instance all-to-all path (point-sharded preprocess → route →
+    tile-sharded compositor) reproduces the single-device image."""
+    from jax.sharding import PartitionSpec as P_
+    from relightable3dgaussian_tpu.parallel import render as prender
+
+    st, camera = setup(P=64, capacity=128)
+    bg = jnp.zeros(3)
+    cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=16,
+                          max_per_tile=32, chunk=8)
+
+    ref = R.render_view(st.params, st.alive, camera, bg, cfg,
+                        active_sh_degree=0, compute_pseudo_normal=False)
+
+    mesh = make_mesh(data=1, tile=8)
+
+    def shard_fn(params, alive, cam, bg):
+        res = prender.render_point_sharded_routed(
+            params, alive, cam, bg, cfg, "tile", 8, active_sh_degree=0)
+        return (res["render"], res["depth"], res["final_t"],
+                res["stats"]["dropped_route"], res["stats"]["dropped_tile"])
+
+    f = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P_(),) * 4,
+        out_specs=(P_(),) * 5, check_vma=False))
+    img, depth, final_t, drop_r, drop_t = f(
+        st.params, st.alive, camera, bg)
+    assert int(drop_r) == 0 and int(drop_t) == 0
+    np.testing.assert_allclose(np.asarray(img),
+                               np.asarray(ref["render"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth),
+                               np.asarray(ref["depth"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(final_t),
+                               np.asarray(ref["final_t"]), atol=1e-5)
+
+
 def test_point_sharded_tp_step_matches_single_device():
     """Gaussian-sharded (TP) rendering: parameter updates match the
     single-device step bit-for-nearly-bit."""
