@@ -32,6 +32,16 @@ def main() -> None:
                     help="cascade hypothesis counts (must match training)")
     ap.add_argument("--base", type=int, default=8)
     ap.add_argument("--max_views", type=int, default=None)
+    ap.add_argument("--gn_refine_iters", type=int, default=0,
+                    help="Gauss-Newton depth refinement iterations")
+    ap.add_argument("--cspn_iters", type=int, default=0,
+                    help="CSPN propagation iterations (needs --params "
+                         "trained with the same setting)")
+    ap.add_argument("--min_consistent", type=int, default=0,
+                    help="cross-view consistency filter: keep depths "
+                         "confirmed by >= this many source views "
+                         "(reference filter.py vis_filter)")
+    ap.add_argument("--theta0", type=float, default=5.0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -52,8 +62,10 @@ def main() -> None:
     os.makedirs(os.path.join(out_dir, "normals"), exist_ok=True)
 
     depth_nums = tuple(int(x) for x in args.depth_nums.split(","))
-    model = mvs.MVSNet(mvs.CascadeConfig(depth_nums=depth_nums,
-                                         base=args.base))
+    model = mvs.MVSNet(mvs.CascadeConfig(
+        depth_nums=depth_nums, base=args.base,
+        gn_refine_iters=args.gn_refine_iters,
+        cspn_iters=args.cspn_iters))
     c0 = cams[0]
     import jax.numpy as jnp
     init_args = (jnp.asarray(c0.image), jnp.asarray(
@@ -73,17 +85,60 @@ def main() -> None:
               flush=True)
 
     centers = np.stack([c.camera_center for c in cams])
-    for i, cam in enumerate(cams):
-        # nearest-by-center source views (SfM pair scoring when available)
+
+    # Source-view selection: COLMAP SfM view-pair scoring when a sparse
+    # model with tracks exists (the colmap2mvsnet driver path,
+    # `colmap2mvsnet.py:423-447`), camera-center proximity otherwise.
+    scores = None
+    for sub in ("sparse/0", "sparse"):
+        sparse = os.path.join(args.source_path, sub)
+        if os.path.isdir(sparse):
+            from relightable3dgaussian_tpu.scene import colmap as colmap_io
+            ids = sorted(colmap_io.read_extrinsics(sparse))[: len(cams)]
+            scores = mvs.colmap_view_scores(
+                sparse, ids, list(centers), theta0=args.theta0)
+            if scores is not None:
+                print(f"view selection: SfM pair scores from {sub}",
+                      flush=True)
+            break
+
+    def pick_sources(i):
+        if scores is not None and scores[i].max() > 0:
+            return list(np.argsort(-scores[i])[: args.num_src])
         d = np.linalg.norm(centers - centers[i], axis=-1)
-        order = np.argsort(d)[1: args.num_src + 1]
-        srcs = [cams[j] for j in order]
+        return list(np.argsort(d)[1: args.num_src + 1])
+
+    src_lists = [pick_sources(i) for i in range(len(cams))]
+
+    # Pass 1: per-view depth estimation.
+    results = []
+    for i, cam in enumerate(cams):
+        srcs = [cams[j] for j in src_lists[i]]
         res = mvs.estimate_depth(
             params, model, cam.image, [s.image for s in srcs],
             cam.intrinsics, [s.intrinsics for s in srcs],
             cam.w2c, [s.w2c for s in srcs],
             (args.depth_min, args.depth_max))
-        depth = res["depth"] * (res["prob"] > args.prob_thresh)
+        results.append(res)
+
+    # Pass 2: probability + cross-view reprojection-consistency filter
+    # (reference `filter.py:82-125` prob_filter + vis_filter) and save.
+    for i, cam in enumerate(cams):
+        res = results[i]
+        keep = res["prob"] > args.prob_thresh
+        if args.min_consistent > 0:
+            n_ok = np.zeros_like(res["depth"], np.int32)
+            for j in src_lists[i]:
+                rel = cams[j].w2c @ np.linalg.inv(cam.w2c)
+                ok = mvs.reprojection_consistency(
+                    jax.numpy.asarray(res["depth"]),
+                    jax.numpy.asarray(results[j]["depth"]),
+                    jax.numpy.asarray(cam.intrinsics),
+                    jax.numpy.asarray(cams[j].intrinsics),
+                    jax.numpy.asarray(rel))
+                n_ok = n_ok + np.asarray(ok, np.int32)
+            keep = keep & (n_ok >= args.min_consistent)
+        depth = res["depth"] * keep
         name = cam.image_name or f"{i:05d}"
         np.save(os.path.join(out_dir, "depths", f"{name}.npy"),
                 depth.astype(np.float32))
@@ -92,8 +147,8 @@ def main() -> None:
         save_image(os.path.join(out_dir, "depths", f"{name}_vis.png"),
                    depth / max(float(depth.max()), 1e-6))
         print(f"{name}: depth range "
-              f"[{float(depth.min()):.2f}, {float(depth.max()):.2f}]",
-              flush=True)
+              f"[{float(depth.min()):.2f}, {float(depth.max()):.2f}] "
+              f"kept {float(keep.mean()):.0%}", flush=True)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,12 @@ class CascadeConfig:
     depth_nums: tuple[int, int, int] = (64, 32, 16)
     interval_ratios: tuple[float, float, float] = (1.0, 0.5, 0.25)
     base: int = 8
+    # Post-cascade refinement.  The reference constructs GNRefine but
+    # leaves its call commented out (`model_cas.py:406,434`) and imports
+    # CSPN unused — both are implemented here and flag-gated, default off
+    # to match the reference's effective behavior.
+    gn_refine_iters: int = 0
+    cspn_iters: int = 0
 
 
 class MVSNet(nn.Module):
@@ -99,6 +105,23 @@ class MVSNet(nn.Module):
             depth = jnp.einsum("dhw,dhw->hw", prob, sweep)
             out[f"depth_{s}"] = depth
             out[f"prob_{s}"] = jnp.max(prob, axis=0)
+
+        # Flag-gated refinement on the finest stage (1/2 scale).
+        if self.cfg.gn_refine_iters > 0:
+            Kr2 = scale_K(K_ref, 2)
+            Ks2 = jnp.stack([scale_K(K_srcs[v], 2) for v in range(V)])
+            sfeats2 = jnp.stack([f[0] for f in src_feats])
+            depth = net.gn_refine(
+                depth, ref_f2, sfeats2, Kr2, Ks2, rels,
+                iters=self.cfg.gn_refine_iters,
+                clamp=self.cfg.interval_ratios[2] * interval
+                * self.cfg.depth_nums[2] / 2)
+            out["depth_gn"] = depth
+        if self.cfg.cspn_iters > 0:
+            affinity = net.CSPNAffinity()(ref_f2)
+            depth = net.cspn_propagate(affinity, depth,
+                                       self.cfg.cspn_iters)
+            out["depth_cspn"] = depth
         out["depth"] = depth
         out["prob"] = out["prob_2"]
         return out
@@ -207,11 +230,14 @@ def view_selection_scores(
     cam_centers: list[np.ndarray],
     point_vis: list[np.ndarray],
     theta0: float = 5.0,
+    sigma1: float = 1.0,
+    sigma2: float = 10.0,
 ) -> np.ndarray:
     """Pairwise view-selection scores from shared SfM points
-    (reference `colmap2mvsnet.view_selection`, `colmap2mvsnet.py:29-266`):
-    score(i,j) = sum over co-visible points of a triangulation-angle
-    kernel favoring ~theta0 degrees."""
+    (reference `colmap2mvsnet.calc_score`, `colmap2mvsnet.py:427-441`):
+    score(i,j) = Σ over co-visible points of the piecewise triangulation-
+    angle kernel exp(−(θ−θ0)²/(2σ²)), σ = σ1 below θ0 (sharp penalty for
+    too-small baselines) and σ2 above (gentle fall-off for wide ones)."""
     n = len(cam_centers)
     scores = np.zeros((n, n))
     for i in range(n):
@@ -226,6 +252,37 @@ def view_selection_scores(
                 np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1),
                 1e-9)
             theta = np.degrees(np.arccos(np.clip(cos, -1, 1)))
-            score = np.exp(-((theta - theta0) ** 2) / (2 * theta0 ** 2))
+            sigma = np.where(theta <= theta0, sigma1, sigma2)
+            score = np.exp(-((theta - theta0) ** 2) / (2 * sigma ** 2))
             scores[i, j] = scores[j, i] = score.sum()
     return scores
+
+
+def colmap_view_scores(
+    sparse_dir: str,
+    image_ids: list[int],
+    cam_centers: list[np.ndarray],
+    theta0: float = 5.0,
+    sigma1: float = 1.0,
+    sigma2: float = 10.0,
+) -> np.ndarray | None:
+    """View-pair score matrix straight from a COLMAP sparse model (the
+    colmap2mvsnet driver path): builds per-image point visibility from
+    the points3D track lists and applies the piecewise angle kernel.
+    Returns None when the model has no usable tracks."""
+    from ..scene import colmap as colmap_io
+
+    try:
+        xyz, tracks = colmap_io.read_points3d_tracks(sparse_dir)
+    except (OSError, ValueError):
+        return None
+    if len(tracks) == 0 or len(xyz) == 0:
+        return None
+    id_to_col = {im_id: k for k, im_id in enumerate(image_ids)}
+    vis = np.zeros((len(image_ids), len(xyz)), bool)
+    for pi, im_id in tracks:
+        k = id_to_col.get(int(im_id))
+        if k is not None:
+            vis[k, pi] = True
+    return view_selection_scores(
+        xyz, cam_centers, list(vis), theta0, sigma1, sigma2)

@@ -153,3 +153,44 @@ def read_points3d(sparse_dir: str) -> tuple[np.ndarray, np.ndarray]:
     xyz = np.array(xyzs, np.float32)
     rgb = np.array(rgbs, np.float32) / 255.0
     return xyz, rgb
+
+
+def read_points3d_tracks(sparse_dir: str
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """→ (xyz [P,3] float32, tracks [N,2] int64 rows (point_idx,
+    image_id)) — the SfM co-visibility data MVS view-pair scoring
+    consumes (the reference reads the same track lists through
+    `images[i].point3D_ids`, `colmap2mvsnet.py:29-266`)."""
+    bin_path = os.path.join(sparse_dir, "points3D.bin")
+    txt_path = os.path.join(sparse_dir, "points3D.txt")
+    xyzs: list = []
+    track_rows: list = []
+    if os.path.exists(bin_path):
+        with open(bin_path, "rb") as f:
+            (n,) = _read(f, "<Q")
+            for pi in range(n):
+                _pid = _read(f, "<Q")[0]
+                xyz = _read(f, "<3d")
+                _read(f, "<3B")
+                _read(f, "<d")
+                (track_len,) = _read(f, "<Q")
+                elems = _read(f, f"<{2 * track_len}i")
+                for k in range(track_len):
+                    track_rows.append((pi, elems[2 * k]))
+                xyzs.append(xyz)
+    else:
+        with open(txt_path) as f:
+            pi = 0
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                xyzs.append([float(x) for x in parts[1:4]])
+                for k in range(8, len(parts), 2):
+                    track_rows.append((pi, int(parts[k])))
+                pi += 1
+    xyz = np.array(xyzs, np.float32).reshape(-1, 3)
+    tracks = (np.array(track_rows, np.int64).reshape(-1, 2)
+              if track_rows else np.zeros((0, 2), np.int64))
+    return xyz, tracks

@@ -130,3 +130,99 @@ def test_view_selection_scores():
     # ~theta0-baseline pair scores higher than the near-duplicate pair
     assert s[0, 1] > s[0, 2]
     assert np.allclose(s, s.T)
+
+
+def _plane_pair_images(H=40, W=64, depth=2.0, baseline=0.2, freq=3.0):
+    """Textured fronto-parallel plane seen by ref cam (origin) and a
+    source cam at world x=+baseline; texture = sin(freq * world_x)."""
+    K, w2c_ref, w2c_src, rel = make_pair(H, W, baseline)
+    u = np.arange(W, dtype=np.float32)
+    x_ref = (u - K[0, 2]) / K[0, 0] * depth
+    x_src = (u - K[0, 2]) / K[0, 0] * depth + baseline
+    ref = np.tile(np.sin(freq * x_ref)[None, :, None], (H, 1, 1))
+    src = np.tile(np.sin(freq * x_src)[None, :, None], (H, 1, 1))
+    return (K, rel, ref.astype(np.float32), src.astype(np.float32))
+
+
+def test_gn_refine_improves_noisy_depth():
+    """One Gauss-Newton step on a biased depth init moves it toward the
+    true plane depth (reference GNRefine semantics, model_cas.py:101-163)."""
+    H, W = 40, 64
+    depth_true = 2.0
+    K, rel, ref, src = _plane_pair_images(H, W, depth_true)
+    init = jnp.full((H, W), depth_true + 0.12)
+    refined = net.gn_refine(
+        init, jnp.asarray(ref), jnp.asarray(src[None]),
+        jnp.asarray(K), jnp.asarray(K[None]), jnp.asarray(rel[None]),
+        iters=3, clamp=0.2)
+    err0 = np.abs(np.asarray(init) - depth_true)[8:-8, 8:-8]
+    err1 = np.abs(np.asarray(refined) - depth_true)[8:-8, 8:-8]
+    assert np.median(err1) < 0.4 * np.median(err0), (
+        np.median(err0), np.median(err1))
+    assert np.isfinite(np.asarray(refined)).all()
+
+
+def test_cspn_constant_fixed_point_and_smoothing():
+    """Weights sum to one → constants are fixed points; with uniform
+    affinity the propagation averages away noise."""
+    rng = np.random.default_rng(3)
+    aff = jnp.asarray(rng.normal(size=(16, 16, 8)).astype(np.float32))
+    const = jnp.full((16, 16), 3.25)
+    out = net.cspn_propagate(aff, const, iters=4)
+    np.testing.assert_allclose(np.asarray(out)[2:-2, 2:-2], 3.25,
+                               atol=1e-5)
+
+    # uniform positive affinity = 3x3 box diffusion: noise variance drops
+    aff_u = jnp.ones((16, 16, 8))
+    noisy = jnp.asarray(rng.normal(size=(16, 16)).astype(np.float32))
+    sm = np.asarray(net.cspn_propagate(aff_u, noisy, iters=2))
+    assert sm[4:-4, 4:-4].std() < 0.5 * np.asarray(noisy)[4:-4, 4:-4].std()
+
+
+def test_cascade_with_refinement_flags():
+    """MVSNet with GN refine + CSPN enabled runs and emits the extra
+    depth maps."""
+    H, W = 32, 32
+    K, _, _, rel = make_pair(H, W)
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    srcs = rng.uniform(0, 1, (2, H, W, 3)).astype(np.float32)
+    model = pipe.MVSNet(pipe.CascadeConfig(
+        depth_nums=(8, 4, 4), base=4, gn_refine_iters=1, cspn_iters=2))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ref), jnp.asarray(srcs),
+        jnp.asarray(K), jnp.asarray(np.stack([K, K])),
+        jnp.asarray(np.stack([rel, rel])), 1.0, 4.0)
+    out = model.apply(
+        params, jnp.asarray(ref), jnp.asarray(srcs), jnp.asarray(K),
+        jnp.asarray(np.stack([K, K])), jnp.asarray(np.stack([rel, rel])),
+        1.0, 4.0)
+    assert "depth_gn" in out and "depth_cspn" in out
+    assert out["depth"].shape == (H // 2, W // 2)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+def test_colmap_view_scores_from_tracks(tmp_path):
+    """Pair scoring straight from a COLMAP text model: co-visible views
+    at a good triangulation angle outscore track-disjoint ones."""
+    sparse = tmp_path / "sparse"
+    sparse.mkdir()
+    rng = np.random.default_rng(1)
+    lines = []
+    # 30 points seen by images 1 & 2; 10 points seen only by image 3
+    for pid in range(30):
+        x, y, z = rng.uniform(-0.2, 0.2, 3)
+        lines.append(f"{pid} {x} {y} {z} 100 100 100 0.5 1 0 2 0")
+    for pid in range(30, 40):
+        x, y, z = rng.uniform(-0.2, 0.2, 3)
+        lines.append(f"{pid} {x} {y} {z} 100 100 100 0.5 3 0")
+    (sparse / "points3D.txt").write_text("\n".join(lines) + "\n")
+
+    a = np.deg2rad(6.0)
+    centers = [np.array([3.0, 0, 0]),
+               np.array([3 * np.cos(a), 3 * np.sin(a), 0]),
+               np.array([0, 3.0, 0])]
+    s = pipe.colmap_view_scores(str(sparse), [1, 2, 3], centers)
+    assert s is not None
+    assert s[0, 1] > 0 and s[0, 2] == 0 and s[1, 2] == 0
+    assert np.allclose(s, s.T)
