@@ -37,38 +37,20 @@ def save_image(path: str, img: np.ndarray) -> None:
     Image.fromarray(_to_uint8(img)).save(path)
 
 
-_lpips_model = None
+def lpips(a: np.ndarray, b: np.ndarray) -> float:
+    """LPIPS on [H, W, 3] images in [0,1] — self-contained JAX VGG16
+    (`training.lpips_jax`).  Real weights via $LPIPS_WEIGHTS (torchvision
+    vgg16 .pth); otherwise a reproducible random backbone (reported as
+    "lpips_rand" by `lpips_label()`)."""
+    from . import lpips_jax
+    _, fn = lpips_jax.lpips_fn()
+    return float(fn(jnp.asarray(a), jnp.asarray(b)))
 
 
-def lpips(a: np.ndarray, b: np.ndarray) -> float | None:
-    """LPIPS(vgg) on [H, W, 3] images in [0,1]; None if torch/vgg
-    weights are unavailable (zero-egress environments)."""
-    global _lpips_model
-    try:
-        import torch
-        if _lpips_model is None:
-            from torchvision.models import vgg16
-            _lpips_model = vgg16(weights="DEFAULT").features.eval()
-        # layered L2 distance in VGG feature space (unit-normalized), the
-        # same structure as lpipsPyTorch (`lpipsPyTorch/modules/lpips.py`)
-        def feats(x):
-            t = torch.tensor(x.transpose(2, 0, 1))[None].float()
-            mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
-            std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
-            t = (t - mean) / std
-            out = []
-            for i, layer in enumerate(_lpips_model):
-                t = layer(t)
-                if i in (3, 8, 15, 22, 29):
-                    f = t / (t.norm(dim=1, keepdim=True) + 1e-10)
-                    out.append(f)
-            return out
-        with __import__("torch").no_grad():
-            fa, fb = feats(a), feats(b)
-        d = sum(float(((x - y) ** 2).mean()) for x, y in zip(fa, fb))
-        return d
-    except Exception:
-        return None
+def lpips_label() -> str:
+    """"lpips" when real VGG weights are loaded, "lpips_rand" otherwise."""
+    from . import lpips_jax
+    return lpips_jax.lpips_fn()[0]
 
 
 def evaluate(
@@ -97,9 +79,7 @@ def evaluate(
         psnrs.append(float(losses.psnr(jnp.asarray(pred), jnp.asarray(gt))))
         ssims.append(float(losses.ssim(jnp.asarray(pred), jnp.asarray(gt))))
         if compute_lpips:
-            d = lpips(pred, gt)
-            if d is not None:
-                lpipss.append(d)
+            lpipss.append(lpips(pred, gt))
         if save_images and out_dir:
             save_image(os.path.join(out_dir, f"{i:05d}_pred.png"), pred)
             save_image(os.path.join(out_dir, f"{i:05d}_gt.png"), gt)
@@ -107,7 +87,7 @@ def evaluate(
     out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
            "n": len(cameras)}
     if lpipss:
-        out["lpips"] = float(np.mean(lpipss))
+        out[lpips_label()] = float(np.mean(lpipss))
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "eval.txt"), "w") as f:

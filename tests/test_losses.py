@@ -88,3 +88,31 @@ def test_psnr_and_entropy(imgs):
     np.testing.assert_allclose(
         float(losses.opacity_entropy(jnp.asarray(op), jnp.asarray(m))),
         want, rtol=1e-5)
+
+
+def test_lpips_jax_basic_properties():
+    """Self-contained LPIPS: zero on identical images, positive and
+    monotone-ish in corruption strength, deterministic across calls."""
+    import numpy as np
+    from relightable3dgaussian_tpu.training import lpips_jax
+
+    label, fn = lpips_jax.lpips_fn()
+    assert label in ("lpips", "lpips_rand")
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    same = float(fn(a, a))
+    assert abs(same) < 1e-6
+    small = float(fn(a, np.clip(a + 0.05 * rng.normal(size=a.shape)
+                                .astype(np.float32), 0, 1)))
+    big = float(fn(a, rng.uniform(0, 1, a.shape).astype(np.float32)))
+    assert 0 < small < big
+    # reproducible (seeded backbone)
+    label2, fn2 = lpips_jax.lpips_fn()
+    assert float(fn2(a, a * 0.5)) == float(fn(a, a * 0.5))
+
+
+def test_lpips_missing_weights_clear_error(tmp_path):
+    from relightable3dgaussian_tpu.training import lpips_jax
+    import pytest
+    with pytest.raises(Exception):
+        lpips_jax.load_torch_weights(str(tmp_path / "nope.pth"))

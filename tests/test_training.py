@@ -147,6 +147,7 @@ def test_pbr_driver_loop_with_densify():
     """train_pbr driver: steps + densification interleave, PBR params
     stay finite, step counter advances."""
     st, cam, cfg = make_setup(use_pbr=True)
+    alive0 = int(jnp.sum(st.alive))
     tstate, txs = TN.init_pbr_train_state(st, opt_mod.OptimConfig())
     loss_cfg = R.LossConfig(lambda_pbr=1.0, lambda_light=0.01)
     tstate = TN.train_pbr(
@@ -155,6 +156,9 @@ def test_pbr_driver_loop_with_densify():
         scene_extent=1.0, sample_num=4, densification_interval=4,
         densify_until=100)
     assert int(tstate.step) == 8
+    # stage-2 densification actually grows capacity usage
+    # (train.py --pbr_densify_until flag gates this path)
+    assert int(jnp.sum(tstate.gaussians.alive)) > alive0
     p = tstate.gaussians.params
     for f in ["xyz", "base_color", "incidents_dc", "visibility_rest"]:
         assert np.isfinite(np.asarray(getattr(p, f))).all(), f

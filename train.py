@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--eval", action="store_true")
     ap.add_argument("--use_ldr_image", action="store_true")
     ap.add_argument("--finetune_visibility", action="store_true")
+    ap.add_argument("--pbr_densify_until", type=int, default=0,
+                    help="enable densification during PBR stage 2 until "
+                         "this iteration (reference recipes resume stage "
+                         "2 past the densify window, so 0 = off matches "
+                         "script/run_nerf.sh)")
     ap.add_argument("--lambda_mask_entropy", type=float, default=0.0)
     ap.add_argument("--lambda_normal_render_depth", type=float, default=0.0)
     ap.add_argument("--lambda_depth", type=float, default=0.0)
@@ -231,7 +236,7 @@ def main() -> None:
                 extent, sample_num=args.sample_num,
                 use_ldr_image=args.use_ldr_image,
                 trace_visibility=args.lambda_visibility > 0,
-                densify_until=0,
+                densify_until=max(0, args.pbr_densify_until - done),
                 white_background=args.white_background,
                 log_every=args.log_interval, callback=callback)
             done += n
