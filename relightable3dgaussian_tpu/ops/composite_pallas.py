@@ -40,6 +40,15 @@ from .composite import ALPHA_MAX, ALPHA_MIN, T_STOP, CompositeOutput
 from .projection import TILE
 
 P2 = TILE * TILE  # 256 pixels per tile
+
+# Route single-device compositing through the fused custom_vjp whose
+# backward reduces gradients on-chip (`reduce_rows_pallas`) instead of
+# an XLA scatter-add.  Module-level so benches can A/B the two paths.
+# Default OFF: measured LOSER on v5e (53.8 vs 47.8 ms/step, 800² bench)
+# — the serial VMEM read-modify-write chain, even with conflict-checked
+# 8-row batching, cannot beat XLA's ~13 ms row-serial scatter floor.
+# Kept (tested) as the A/B harness for future reduction experiments.
+FUSED_REDUCE = False
 LOG_T_STOP = -9.210340371976184  # log(1e-4)
 
 
@@ -170,17 +179,20 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
 
 def _backward_kernel(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
                      ft_ref, ckpt_t_ref, ckpt_s_ref, gdata_ref,
-                     *, C: int, F: int, K: int, gx: int):
+                     *, C: int, F: int, K: int, gx: int,
+                     tiled: bool = False):
     nchunks = K // C
     for tb in range(TB):
         _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref,
                            gt_ref, ft_ref, ckpt_t_ref, ckpt_s_ref,
-                           gdata_ref, tb, C=C, F=F, nchunks=nchunks, gx=gx)
+                           gdata_ref, tb, C=C, F=F, nchunks=nchunks,
+                           gx=gx, tiled=tiled)
 
 
 def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
                        ft_ref, ckpt_t_ref, ckpt_s_ref, gdata_ref, tb,
-                       *, C: int, F: int, nchunks: int, gx: int):
+                       *, C: int, F: int, nchunks: int, gx: int,
+                       tiled: bool = False):
     row = pl.program_id(0) * TB + tb
     pixx, pixy = _pixel_coords(gx, tids_ref[row])
     count = counts_ref[row]
@@ -190,7 +202,8 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
     # final_t = exp(log_t_final) was saved by the forward.
     g_log_t0 = gt_ref[tb] * ft_ref[tb]                   # [1, P2]
 
-    gdata_ref[tb] = jnp.zeros((nchunks * C, 6 + F), jnp.float32)
+    gdata_ref[tb] = jnp.zeros(
+        (nchunks * C, 128 if tiled else 6 + F), jnp.float32)
 
     # A chunk was processed by the forward iff some pixel was still
     # integrating at its entry (checkpoint sentinel stopped=2 marks chunks
@@ -268,8 +281,18 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
         g_ys = jnp.sum(g_dy, axis=1, keepdims=True)
         g_op = jnp.sum(g_op_pix, axis=1, keepdims=True)
 
-        g_chunk = jnp.concatenate(
-            [g_xs, g_ys, g_ca, g_cb, g_cc, g_op, g_feat], axis=1)
+        parts = [g_xs, g_ys, g_ca, g_cb, g_cc, g_op, g_feat]
+        if tiled:
+            # replicate across the lane groups the reduction kernel
+            # expects (free: [*, 6+F] is lane-padded to 128 in HBM anyway)
+            G, _packs = _grad_group(6 + F)
+            pad = G - (6 + F)
+            if pad:
+                parts.append(jnp.zeros((C, pad), jnp.float32))
+            grp = jnp.concatenate(parts, axis=1)
+            g_chunk = jnp.concatenate([grp] * (128 // G), axis=1)
+        else:
+            g_chunk = jnp.concatenate(parts, axis=1)
         gdata_ref[tb, pl.ds(c * C, C), :] = g_chunk
 
         # propagate to earlier chunks: d logT_in touches every term
@@ -279,15 +302,133 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
     jax.lax.fori_loop(0, n_done, bbody, g_log_t0)
 
 
+# ---------------------------------------------------------------------
+# Gradient reduction: per-instance rows -> per-Gaussian sums.
+#
+# XLA TPU has no atomics and lowers every random-reduction to a
+# row-serial scatter-add (~15 ms for the 720k x 14 rows of an 800² step,
+# measured v5e) — and every rearrangement alternative (sorted-segment
+# cumsum-diff 13.5 ms, segment_sum 17.9 ms, unique-index scatter 87 ms)
+# bottoms out on the same ~6-20 ns/row random-access floor.  The Pallas
+# kernel below beats them by keeping the WHOLE accumulator VMEM-resident
+# in a lane-packed layout: Gaussian p lives at accumulator row p//8,
+# lane group p%8 (16 lanes each, 14 used), so [P=131k, 14] packs into
+# [P/8, 128] = 8.4 MB of VMEM.  The instance stream is processed
+# serially (ids from SMEM, one masked (1,128) add per row) — ~5 VPU ops
+# per instance instead of an HBM round trip per row.
+# The backward compositor emits gradient rows already tiled 8x across
+# the lane groups ([*, 128]), which is free: the [*, 14] layout is
+# lane-padded to 128 in HBM anyway.
+# ---------------------------------------------------------------------
+
+
+def _grad_group(D: int) -> tuple[int, int]:
+    """(lane-group size, gaussians per accumulator row) for D grad
+    values: 16-lane groups pack 8 Gaussians per row (D ≤ 16, the base
+    render), 32-lane groups pack 4 (NeILF's wider feature rows)."""
+    if D <= 16:
+        return 16, 8
+    assert D <= 32, D
+    return 32, 4
+
+
+def _reduce_kernel(ids_ref, gdata_ref, out_ref, *, C: int, G: int,
+                   U: int = 8):
+    b = pl.program_id(0)
+    packs = 128 // G
+
+    @pl.when(b == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    lane_grp = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // G
+
+    # U rows per iteration.  A strictly serial read-modify-write chain on
+    # the accumulator costs ~22 cycles/row (measured ~17 ms for 720k rows);
+    # batching U rows lets the loads of a group issue before its stores.
+    # That reorder is only sound when the U accumulator rows are distinct,
+    # so the scalar core checks the U*(U-1)/2 pairs (ids within a tile are
+    # distinct and ~16k accumulator rows make collisions ~0.2%/group) and
+    # falls back to the serial order on conflict.
+    def body(i, carry):
+        base = i * U
+        subs, masked = [], []
+        for j in range(U):
+            g = ids_ref[base + j]
+            sub = g // packs
+            grp = g - sub * packs
+            subs.append(sub)
+            masked.append(jnp.where(lane_grp == grp,
+                                    gdata_ref[pl.ds(base + j, 1), :], 0.0))
+        conflict = subs[0] != subs[0]          # traced False
+        for j in range(1, U):
+            for k in range(j):
+                conflict = jnp.logical_or(conflict, subs[k] == subs[j])
+
+        @pl.when(jnp.logical_not(conflict))
+        def _fast():
+            curs = [out_ref[pl.ds(subs[j], 1), :] for j in range(U)]
+            for j in range(U):
+                out_ref[pl.ds(subs[j], 1), :] = curs[j] + masked[j]
+
+        @pl.when(conflict)
+        def _slow():
+            for j in range(U):
+                out_ref[pl.ds(subs[j], 1), :] = (
+                    out_ref[pl.ds(subs[j], 1), :] + masked[j])
+
+        return carry
+
+    jax.lax.fori_loop(0, C // U, body, 0)
+
+
+def reduce_rows_pallas(gdata_tiled: jnp.ndarray, ids: jnp.ndarray,
+                       P: int, D: int, chunk_rows: int = 2048
+                       ) -> jnp.ndarray:
+    """Sum gradient rows by Gaussian id on-chip.
+
+    Args:
+      gdata_tiled: [N, 128] rows with the D gradient values replicated
+        in each lane group (the backward kernel's native output layout;
+        group size from `_grad_group`).
+      ids: [N] int32 targets in [0, P]; id == P is a trash row for
+        padding slots (their rows are exactly zero anyway).
+      P: number of Gaussians.
+
+    Returns: [P, D] float32 sums.
+    """
+    G, packs = _grad_group(D)
+    N = gdata_tiled.shape[0]
+    padN = (-N) % chunk_rows
+    if padN:
+        gdata_tiled = jnp.pad(gdata_tiled, ((0, padN), (0, 0)))
+        ids = jnp.pad(ids, (0, padN), constant_values=P)
+    N += padN
+    rows = -(-(P + packs) // packs)
+    rows += (-rows) % 8
+    kern = functools.partial(_reduce_kernel, C=chunk_rows, G=G)
+    out = pl.pallas_call(
+        kern,
+        grid=(N // chunk_rows,),
+        in_specs=[
+            pl.BlockSpec((chunk_rows,), lambda b: (b,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk_rows, 128), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda b: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+    )(ids, gdata_tiled)
+    return out.reshape(rows * packs, G)[:P, :D]
+
+
 # The row gather's transpose is a scatter-add of the per-instance gradient
-# rows into [P, D].  XLA TPU scatter-add latency is dominated by the MAX
-# INDEX MULTIPLICITY, not the row count: 1.28M rows with near-unique
-# indices run in ~0.2 ms, but the same rows with the ~728k padding slots
-# all pointing at row 0 take ~21 ms (measured on v5e).  Padded slots carry
-# exactly-zero gradient rows (the backward kernel masks them), so they can
-# be redirected to unique "spread" targets — numerically a no-op, but it
-# collapses the collision chain from ~728k deep to ≤ max-instances-per-
-# gaussian.
+# rows into [P, D] (the XLA fallback path; see the Pallas reduction above
+# for the measured cost landscape).  Padded slots carry exactly-zero
+# gradient rows (the backward kernel masks them), so they can be
+# redirected to unique "spread" targets — numerically a no-op that keeps
+# the collision chain shallow.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def gather_rows(packed, idx, mask, gsort_gauss, gsort_pos, P):
     """jnp.take(packed, idx, axis=0) with a row-count-minimized grad scatter.
@@ -392,9 +533,12 @@ def _core_fwd(data, counts, tile_ids, grid, chunk, F):
     return out, (data, counts, tile_ids, final_t, ckpt_t, ckpt_s)
 
 
-def _core_bwd(grid, chunk, F, res, cotangents):
-    data, counts, tile_ids, final_t, ckpt_t, ckpt_s = res
-    g_img, g_t, _ = cotangents
+def _run_backward_kernel(data, counts, tile_ids, g_img, g_t, final_t,
+                         ckpt_t, ckpt_s, grid, chunk, F,
+                         tiled: bool = False):
+    """Invoke the backward compositor kernel; returns per-dense-slot
+    gradient rows — [T0, K, 6+F], or [T0, K, 128] lane-group-tiled when
+    `tiled` (the layout `reduce_rows_pallas` consumes)."""
     gx, gy = grid
     T0, K, D = data.shape
     g_t = g_t.reshape(T0, 1, P2)
@@ -407,7 +551,9 @@ def _core_bwd(grid, chunk, F, res, cotangents):
         g_t = jnp.pad(g_t, ((0, padT), (0, 0), (0, 0)))
     T = T0 + padT
     nchunks = K // chunk
-    kern = functools.partial(_backward_kernel, C=chunk, F=F, K=K, gx=gx)
+    W = 128 if tiled else D
+    kern = functools.partial(_backward_kernel, C=chunk, F=F, K=K, gx=gx,
+                             tiled=tiled)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T // TB,),
@@ -425,18 +571,69 @@ def _core_bwd(grid, chunk, F, res, cotangents):
             pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TB, K, D), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((TB, K, W), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     g_data = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, K, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, K, W), jnp.float32),
     )(counts, tile_ids, data, g_img, g_t, final_t, ckpt_t, ckpt_s)
-    return g_data[:T0], None, None
+    return g_data[:T0]
+
+
+def _core_bwd(grid, chunk, F, res, cotangents):
+    data, counts, tile_ids, final_t, ckpt_t, ckpt_s = res
+    g_img, g_t, _ = cotangents
+    g_data = _run_backward_kernel(
+        data, counts, tile_ids, g_img, g_t, final_t, ckpt_t, ckpt_s,
+        grid, chunk, F)
+    return g_data, None, None
 
 
 _composite_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---- fused path: gather + compositor + on-chip gradient reduction ----
+# Single custom_vjp around (packed rows -> image) whose backward chains
+# the compositor kernel into `reduce_rows_pallas`, so XLA never sees a
+# scatter (the ~15 ms row-serial transpose the gather would otherwise
+# induce).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _composite_packed(packed, idx, mask, counts, grid, chunk, F):
+    T, K = idx.shape
+    data = jnp.take(packed, idx.reshape(-1), axis=0).reshape(
+        (T, K, packed.shape[-1]))
+    return _core_fwd_impl(data, counts, jnp.arange(T, dtype=jnp.int32),
+                          grid, chunk, F)
+
+
+def _packed_fwd(packed, idx, mask, counts, grid, chunk, F):
+    T, K = idx.shape
+    data = jnp.take(packed, idx.reshape(-1), axis=0).reshape(
+        (T, K, packed.shape[-1]))
+    out, (final_t, ckpt_t, ckpt_s) = _core_fwd_impl(
+        data, counts, jnp.arange(T, dtype=jnp.int32), grid, chunk, F,
+        want_ckpt=True)
+    return out, (data, idx, mask, counts, final_t, ckpt_t, ckpt_s,
+                 packed.shape[0])
+
+
+def _packed_bwd(grid, chunk, F, res, cotangents):
+    data, idx, mask, counts, final_t, ckpt_t, ckpt_s, P = res
+    g_img, g_t, _ = cotangents
+    T0, K, D = data.shape
+    tile_ids = jnp.arange(T0, dtype=jnp.int32)
+    gdata = _run_backward_kernel(
+        data, counts, tile_ids, g_img, g_t, final_t, ckpt_t, ckpt_s,
+        grid, chunk, F, tiled=True)                    # [T0, K, 128]
+    ids = jnp.where(mask, idx, P).reshape(-1)
+    g_packed = reduce_rows_pallas(gdata.reshape(-1, 128), ids, P, D)
+    return g_packed, None, None, None
+
+
+_composite_packed.defvjp(_packed_fwd, _packed_bwd)
 
 
 def composite_pallas_from_data(
@@ -515,11 +712,16 @@ def composite_pallas(
     # than four separate fancy-index gathers + concat.
     packed = jnp.concatenate(
         [xy, conic, opacity[:, None], feats], axis=-1)     # [P, D]
-    data = gather_rows(packed, idx, mask, gsg, gsp,
-                       packed.shape[0])                    # [Tl, K, D]
 
-    img, final_t, last = _composite_core(
-        data, counts, tile_ids, grid, chunk, F)
+    if tile_axis is None and 6 + F <= 32 and FUSED_REDUCE:
+        # fused path: backward reduces gradients on-chip (no XLA scatter)
+        img, final_t, last = _composite_packed(
+            packed, idx, mask, counts, grid, chunk, F)
+    else:
+        data = gather_rows(packed, idx, mask, gsg, gsp,
+                           packed.shape[0])                # [Tl, K, D]
+        img, final_t, last = _composite_core(
+            data, counts, tile_ids, grid, chunk, F)
 
     if tile_axis is not None:
         gather = functools.partial(

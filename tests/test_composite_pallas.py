@@ -198,3 +198,29 @@ def test_shape_fuzz_forward_and_grads(F, K, chunk):
     gr = jax.grad(loss_r)(proj.opacity)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                rtol=5e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("D", [14, 27])
+def test_reduce_rows_pallas_matches_scatter(D):
+    """On-chip grad reduction == scatter-add, for both lane-group widths
+    (D<=16: 8 Gaussians/row; D<=32: 4/row)."""
+    rng = np.random.default_rng(11)
+    P, N = 1000, 4096
+    G = 16 if D <= 16 else 32
+    ids = rng.integers(0, P, N).astype(np.int32)
+    ids[N // 2:] = np.where(rng.random(N - N // 2) < 0.2, P,
+                            ids[N // 2:])  # some trash-row slots
+    rows = rng.normal(size=(N, D)).astype(np.float32)
+    rows[ids == P] = 0.0
+    padded = np.zeros((N, G), np.float32)
+    padded[:, :D] = rows
+    tiled = np.tile(padded, (1, 128 // G))
+
+    with pltpu.force_tpu_interpret_mode():
+        got = cpal.reduce_rows_pallas(
+            jnp.asarray(tiled), jnp.asarray(ids), P, D, chunk_rows=512)
+
+    want = np.zeros((P, D), np.float32)
+    np.add.at(want, ids[ids < P], rows[ids < P])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4,
+                               rtol=1e-5)
