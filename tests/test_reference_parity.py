@@ -187,3 +187,154 @@ def test_bilateral_smooth_matches_reference(ref_loss):
     got = float(losses.bilateral_smooth(
         jnp.asarray(data), jnp.asarray(img), jnp.asarray(mask)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------
+# The reference's own python twins as oracles (VERDICT r1 item 4):
+# `rendering_equation_python` (gaussian_renderer/neilf.py:437-519) and
+# the cov3D builder (scene/gaussian_model.py:24-28 via
+# utils/general_utils.py).  Values AND gradients (torch.autograd vs
+# jax.grad) must agree in fp32.
+# ---------------------------------------------------------------------
+
+
+def _cpu_patch(monkeypatch):
+    """Strip the reference's hard-coded device='cuda' allocations."""
+    monkeypatch.setattr(torch.Tensor, "cuda",
+                        lambda self, *a, **k: self, raising=False)
+
+    def cpu(fn):
+        def wrapper(*a, **k):
+            k.pop("device", None)
+            return fn(*a, **k)
+        return wrapper
+    for name in ("arange", "zeros", "eye", "ones", "rand"):
+        monkeypatch.setattr(torch, name, cpu(getattr(torch, name)))
+
+
+@pytest.fixture(scope="module")
+def ref_neilf(ref_sh, ref_graphics):
+    """`sample_incident_rays` + `rendering_equation_python` extracted
+    from gaussian_renderer/neilf.py by AST, so the module's CUDA
+    extension imports (r3dg_rasterization, bvh) never run."""
+    import ast
+    with open(os.path.join(REF, "gaussian_renderer", "neilf.py")) as f:
+        tree = ast.parse(f.read())
+    wanted = {"sample_incident_rays", "rendering_equation_python"}
+    mod = ast.Module(
+        body=[n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name in wanted],
+        type_ignores=[])
+    ns = {
+        "torch": torch, "np": np, "F": torch.nn.functional,
+        "fibonacci_sphere_sampling": ref_graphics.fibonacci_sphere_sampling,
+        "eval_sh_coef": ref_sh.eval_sh_coef,
+    }
+    exec(compile(ast.fix_missing_locations(mod), "<ref_neilf_twins>",
+                 "exec"), ns)
+    assert wanted <= ns.keys()
+    return ns
+
+
+def _unit_rows(rng, n):
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def test_rendering_equation_matches_reference(ref_neilf, monkeypatch):
+    """PBR render equation: values and parameter gradients vs the
+    reference's own torch twin (neilf.py:437-519), env light included."""
+    import jax
+    from relightable3dgaussian_tpu.ops import brdf
+    _cpu_patch(monkeypatch)
+    rng = np.random.default_rng(7)
+    P, S, K = 48, 24, 16
+    base = rng.uniform(0.0, 1.0, (P, 3)).astype(np.float32)
+    rough = rng.uniform(0.1, 1.0, (P, 1)).astype(np.float32)
+    metal = rng.uniform(0.0, 1.0, (P, 1)).astype(np.float32)
+    normals = _unit_rows(rng, P)
+    view = _unit_rows(rng, P)
+    incidents = (0.3 * rng.normal(size=(P, K, 3))).astype(np.float32)
+    vis = (0.3 * rng.normal(size=(P, K, 1))).astype(np.float32)
+    env = (0.3 * rng.normal(size=(1, K, 3))).astype(np.float32)
+    w = rng.normal(size=(P, 3)).astype(np.float32)  # fixed cotangent
+
+    leaves = {"base": base, "rough": rough, "metal": metal,
+              "incidents": incidents, "vis": vis}
+    t = {k: torch.tensor(v, requires_grad=True) for k, v in leaves.items()}
+
+    class _Env:
+        get_env_shs = torch.tensor(env)
+
+    pbr_t, extras_t = ref_neilf["rendering_equation_python"](
+        t["base"], t["rough"], t["metal"], _cpu(normals), _cpu(view),
+        t["incidents"], is_training=False, direct_light_env_light=_Env(),
+        visibility=t["vis"], sample_num=S)
+    (pbr_t * torch.tensor(w)).sum().backward()
+    want_grads = {k: t[k].grad.numpy() for k in leaves}
+
+    def scalar(b, r, m, i, v):
+        pbr, _ = brdf.rendering_equation(
+            b, r, m, jnp.asarray(normals), jnp.asarray(view), i,
+            direct_shs=jnp.asarray(env.reshape(K, 3)),
+            visibility_shs=v, sample_num=S)
+        return jnp.sum(pbr * jnp.asarray(w))
+
+    args = tuple(jnp.asarray(leaves[k])
+                 for k in ("base", "rough", "metal", "incidents", "vis"))
+    pbr_j, extras_j = brdf.rendering_equation(
+        args[0], args[1], args[2], jnp.asarray(normals),
+        jnp.asarray(view), args[3],
+        direct_shs=jnp.asarray(env.reshape(K, 3)),
+        visibility_shs=args[4], sample_num=S)
+    got_grads = jax.grad(scalar, argnums=(0, 1, 2, 3, 4))(*args)
+
+    np.testing.assert_allclose(np.asarray(pbr_j), pbr_t.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+    for key in ("incident_lights", "incident_visibility",
+                "local_incident_lights", "global_incident_lights",
+                "diffuse_light"):
+        np.testing.assert_allclose(
+            np.asarray(extras_j[key]), extras_t[key].detach().numpy(),
+            rtol=1e-4, atol=1e-5, err_msg=key)
+    for got, key in zip(got_grads,
+                        ("base", "rough", "metal", "incidents", "vis")):
+        np.testing.assert_allclose(np.asarray(got), want_grads[key],
+                                   rtol=2e-3, atol=2e-5, err_msg=key)
+
+
+@pytest.mark.parametrize("modifier", [1.0, 0.7])
+def test_cov3d_matches_reference(monkeypatch, modifier):
+    """Σ = R S² Rᵀ packed upper triangle: values + grads vs the
+    reference's build_covariance_from_scaling_rotation
+    (scene/gaussian_model.py:24-28, utils/general_utils.py:78-160)."""
+    import jax
+    from relightable3dgaussian_tpu.ops import transforms as tf
+    ref_gen = _load("general_utils")
+    _cpu_patch(monkeypatch)
+    rng = np.random.default_rng(8)
+    s = rng.uniform(0.01, 1.0, (32, 3)).astype(np.float32)
+    q = rng.normal(size=(32, 4)).astype(np.float32)
+    w = rng.normal(size=(32, 6)).astype(np.float32)
+
+    ts = torch.tensor(s, requires_grad=True)
+    tq = torch.tensor(q, requires_grad=True)
+    L = ref_gen.build_scaling_rotation(modifier * ts, tq)
+    sym_t = ref_gen.strip_symmetric(L @ L.transpose(1, 2))
+    (sym_t * torch.tensor(w)).sum().backward()
+
+    def scalar(sj, qj):
+        cov = tf.build_cov3d(sj, tf.normalize(qj), modifier)
+        return jnp.sum(tf.cov3d_to_sym6(cov) * jnp.asarray(w))
+
+    sym_j = tf.cov3d_to_sym6(
+        tf.build_cov3d(jnp.asarray(s), tf.normalize(jnp.asarray(q)),
+                       modifier))
+    gs, gq = jax.grad(scalar, argnums=(0, 1))(jnp.asarray(s),
+                                              jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(sym_j), sym_t.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs), ts.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gq), tq.grad.numpy(),
+                               rtol=1e-4, atol=1e-5)
