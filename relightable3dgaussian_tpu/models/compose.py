@@ -80,6 +80,35 @@ def concat_gaussians(states: list[G.GaussianState], capacity: int | None = None
         max_radii2d=jnp.zeros(capacity, jnp.int32))
 
 
+def load_composition(scene_dict: dict, verbose: bool = True
+                     ) -> G.GaussianState:
+    """Load, transform, and merge the per-object PLYs of a composition
+    config (`transform.json` entries {name: {path, transform}} —
+    reference `relighting.py:31-55`, and the GUI's multi-object load
+    path `gui.py:388-407`).  Per-object incident-light SH is reset: the
+    composite scene's light transport differs from each object's
+    training scene (`relighting.py:54`).
+    """
+    from ..training import checkpoint as ckpt  # avoid an import cycle
+    states = []
+    for name, info in scene_dict.items():
+        st = ckpt.load_ply(info["path"], use_pbr=True)
+        M = jnp.asarray(
+            np.array(info["transform"], np.float32).reshape(4, 4))
+        st = st.replace(params=apply_transform(st.params, M))
+        st = st.replace(params=st.params.replace(
+            incidents_dc=st.params.incidents_dc * 0,
+            incidents_rest=st.params.incidents_rest * 0))
+        states.append(st)
+        if verbose:
+            print(f"loaded {name}: {int(st.num_alive)} splats",
+                  flush=True)
+    merged = concat_gaussians(states)
+    if verbose:
+        print(f"composite: {int(merged.num_alive)} splats", flush=True)
+    return merged
+
+
 def finetune_visibility(
     state: G.GaussianState,
     iterations: int = 1000,
@@ -139,34 +168,65 @@ def precompute_visibility(
     state: G.GaussianState,
     sample_num: int = 384,
     chunk: int = 4096,
+    use_cells: bool | None = None,
 ) -> jnp.ndarray:
     """Trace per-splat visibility along the deterministic fibonacci dirs
     (`update_visibility(is_bake=False)`, `relighting.py:58-86`).
+
+    The workload is O(N·S·P) pairs; past ~16k splats the morton-cell
+    culled tracer (`raytrace.trace_visibility_cells`, lossless — the
+    TPU analogue of the reference's LBVH) replaces the dense sweep.
+    `use_cells` forces the choice (None = auto by capacity).
 
     Returns [N, S, 1] visibility aligned with `sample_incident_dirs`
     (deterministic, no azimuth randomization).
     """
     p = state.params
-    sym6 = raytrace.inverse_covariance(G.get_scaling(p), G.get_rotation(p))
+    scales = G.get_scaling(p)
+    sym6 = raytrace.inverse_covariance(scales, G.get_rotation(p))
     means = p.xyz
     opacity = G.get_opacity(p)
     normal = G.get_normal(p)
     N = p.capacity
+    if use_cells is None:
+        use_cells = N >= 16_384
+    cells = raytrace.build_cells(means, scales, state.alive) \
+        if use_cells else None
 
     @jax.jit
-    def trace_chunk(offset_dirs):
-        o, d = offset_dirs
-        return raytrace.trace_visibility(
-            o, d, means, sym6, opacity, normal,
-            alive=state.alive)["visibility"]
+    def trace_chunk(sub_means, sub_normals):
+        # dirs per chunk — identical to slicing the full
+        # sample_incident_dirs(normal) (per-splat independent) without
+        # materializing [N, S, 3]
+        d = brdf.sample_incident_dirs(sub_normals, sample_num)
+        o = jnp.repeat(sub_means, sample_num, axis=0)
+        if cells is not None:
+            out = raytrace.trace_visibility_cells(
+                o, d.reshape(-1, 3), means, sym6, opacity, normal,
+                cells, alive=state.alive)
+        else:
+            out = raytrace.trace_visibility(
+                o, d.reshape(-1, 3), means, sym6, opacity, normal,
+                alive=state.alive)
+        return out["visibility"], out.get("dropped_rays", 0)
 
-    dirs = brdf.sample_incident_dirs(normal, sample_num)    # [N, S, 3]
-    out = []
+    if use_cells:
+        # bound the [rays, C] hit matrix, not the splat count
+        chunk = max(1, min(chunk, 16_384 // sample_num))
+    out, drops = [], []
     for off in range(0, N, chunk):
         n = min(chunk, N - off)
-        o = jnp.repeat(means[off: off + n], sample_num, axis=0)
-        d = dirs[off: off + n].reshape(-1, 3)
-        out.append(trace_chunk((o, d)).reshape(n, sample_num, 1))
+        vis, drop = trace_chunk(means[off: off + n],
+                                normal[off: off + n])
+        drops.append(drop)  # no per-chunk sync — keep dispatch pipelined
+        out.append(vis.reshape(n, sample_num, 1))
+    dropped = int(sum(jnp.asarray(d) for d in drops))
+    if dropped:
+        import warnings
+        warnings.warn(
+            f"precompute_visibility: {dropped} (ray, cell) pairs beyond "
+            "max_rays_per_cell — visibility overestimated; raise the "
+            "budget or lower the trace chunk", stacklevel=2)
     return jnp.concatenate(out, axis=0)
 
 

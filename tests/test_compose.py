@@ -121,3 +121,43 @@ def test_precompute_and_render_composite():
                                   light_transform=rot)
     assert not np.allclose(np.asarray(r1["pbr"]), np.asarray(r2["pbr"]),
                            atol=1e-4)
+
+
+def test_precompute_visibility_cells_matches_dense():
+    """The morton-cell culled precompute path is lossless vs dense."""
+    st = make_state(P=60, capacity=64)
+    dense = compose.precompute_visibility(st, sample_num=8, chunk=16,
+                                          use_cells=False)
+    culled = compose.precompute_visibility(st, sample_num=8, chunk=16,
+                                           use_cells=True)
+    np.testing.assert_allclose(np.asarray(culled), np.asarray(dense),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_load_composition_from_config(tmp_path):
+    """transform.json -> load N PLYs, apply 4x4s, reset incidents, merge
+    (the relighting.py / viewer.py composition entry)."""
+    import json
+
+    from relightable3dgaussian_tpu.training import checkpoint as ckpt
+
+    st1 = make_state(P=10, capacity=16, seed=1)
+    st2 = make_state(P=14, capacity=16, seed=2)
+    ckpt.save_ply(str(tmp_path / "a.ply"), st1, use_pbr=True)
+    ckpt.save_ply(str(tmp_path / "b.ply"), st2, use_pbr=True)
+    shift = np.eye(4, dtype=np.float32)
+    shift[0, 3] = 5.0
+    cfgj = {
+        "a": {"path": str(tmp_path / "a.ply"),
+              "transform": np.eye(4).flatten().tolist()},
+        "b": {"path": str(tmp_path / "b.ply"),
+              "transform": shift.flatten().tolist()},
+    }
+    (tmp_path / "transform.json").write_text(json.dumps(cfgj))
+    with open(tmp_path / "transform.json") as f:
+        merged = compose.load_composition(json.load(f), verbose=False)
+    assert int(merged.num_alive) == 24
+    xyz = np.asarray(merged.params.xyz)[np.asarray(merged.alive)]
+    # object b shifted +5 in x
+    assert (xyz[:, 0] > 2.5).sum() == 14
+    assert np.abs(np.asarray(merged.params.incidents_dc)).sum() == 0

@@ -52,8 +52,14 @@ def oracle(rays_o, rays_d, means, scales, quats, ops_, normals):
             power = -0.5 * dd @ A @ dd
             if power > 0:
                 continue
+            alpha = ops_[j] * np.exp(power)
+            # ALPHA_MIN floor: the reference kernel has no explicit
+            # floor, but its 3-sigma AABB BVH cull drops the same
+            # sub-1/255 contributions (bvh/__init__.py:40, m=3)
+            if alpha < 1 / 255:
+                continue
             cnt[i] += 1
-            T *= 1 - ops_[j] * np.exp(power)
+            T *= 1 - alpha
         vis[i] = T if T >= 0.9 else 0.0
     return vis, cnt
 
@@ -173,3 +179,70 @@ def test_trace_hits_sorted_and_correct():
         want = [j for _, j in hits[:8]]
         got = [g for g in gid[i] if g >= 0]
         assert got == want, (i, got, want)
+
+
+# --- cell-culled tracer (raytrace.build_cells / trace_visibility_cells) ---
+
+
+def _dense_and_cells(P, R, seed, cell_size=32, Rb=None, alive=None,
+                     **cellkw):
+    means, scales, quats, ops_, normals = make_scene(P, seed)
+    rng = np.random.default_rng(seed + 100)
+    rays_o = rng.uniform(-2, 2, (R, 3)).astype(np.float32)
+    rays_d = rng.normal(size=(R, 3)).astype(np.float32)
+    sym6 = raytrace.inverse_covariance(jnp.asarray(scales),
+                                       jnp.asarray(quats))
+    al = jnp.asarray(alive) if alive is not None else jnp.ones(P, bool)
+    dense = raytrace.trace_visibility(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.asarray(means),
+        sym6, jnp.asarray(ops_), jnp.asarray(normals), alive=al,
+        chunk=1024 if P > 1024 else P)
+    cells = raytrace.build_cells(
+        jnp.asarray(means), jnp.asarray(scales), al, cell_size=cell_size)
+    culled = raytrace.trace_visibility_cells(
+        jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.asarray(means),
+        sym6, jnp.asarray(ops_), jnp.asarray(normals), cells, alive=al,
+        max_rays_per_cell=Rb or R, **cellkw)
+    return dense, culled
+
+
+def test_cells_match_dense():
+    """Cull is lossless: every contributing splat lands in a visited
+    cell, so visibility and contribute counts match the dense oracle."""
+    dense, culled = _dense_and_cells(P=700, R=192, seed=3)
+    assert int(culled["dropped_rays"]) == 0
+    np.testing.assert_array_equal(np.asarray(culled["contribute"]),
+                                  np.asarray(dense["contribute"]))
+    np.testing.assert_allclose(np.asarray(culled["visibility"]),
+                               np.asarray(dense["visibility"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cells_match_dense_with_dead_splats():
+    rng = np.random.default_rng(9)
+    alive = rng.random(500) > 0.4
+    dense, culled = _dense_and_cells(P=500, R=128, seed=4, alive=alive,
+                                     cell_size=64)
+    assert int(culled["dropped_rays"]) == 0
+    np.testing.assert_array_equal(np.asarray(culled["contribute"]),
+                                  np.asarray(dense["contribute"]))
+    np.testing.assert_allclose(np.asarray(culled["visibility"]),
+                               np.asarray(dense["visibility"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cells_budget_overflow_counted():
+    """A tiny rays-per-cell budget must be reported, never silent."""
+    _, culled = _dense_and_cells(P=700, R=192, seed=3, Rb=8)
+    assert int(culled["dropped_rays"]) > 0
+
+
+def test_cells_nondivisible_sizes():
+    """P not divisible by cell_size, C not divisible by cell_chunk,
+    R not a power of two."""
+    dense, culled = _dense_and_cells(P=333, R=100, seed=5, cell_size=32,
+                                     cell_chunk=5)
+    assert int(culled["dropped_rays"]) == 0
+    np.testing.assert_allclose(np.asarray(culled["visibility"]),
+                               np.asarray(dense["visibility"]),
+                               rtol=1e-5, atol=1e-6)
