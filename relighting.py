@@ -58,20 +58,7 @@ def main() -> None:
             light_dict = json.load(f)
 
     # --- scene composition (`relighting.py:31-55`) ---
-    states = []
-    for name, info in scene_dict.items():
-        st = ckpt.load_ply(info["path"], use_pbr=True)
-        M = jnp.asarray(
-            np.array(info["transform"], np.float32).reshape(4, 4))
-        st = st.replace(params=compose.apply_transform(st.params, M))
-        # composition resets per-object incident light (`relighting.py:54`)
-        st = st.replace(params=st.params.replace(
-            incidents_dc=st.params.incidents_dc * 0,
-            incidents_rest=st.params.incidents_rest * 0))
-        states.append(st)
-        print(f"loaded {name}: {int(st.num_alive)} splats", flush=True)
-    merged = compose.concat_gaussians(states)
-    print(f"composite: {int(merged.num_alive)} splats", flush=True)
+    merged = compose.load_composition(scene_dict)
 
     # --- visibility (`relighting.py:58-86`) ---
     vis = None

@@ -48,19 +48,19 @@ _CLIENT_HTML = """<!doctype html><html><body style="margin:0;background:#111">
 <img id=v width=100% style="image-rendering:pixelated">
 <div id=s style="color:#0f0;font:12px monospace;position:fixed;top:4px;left:4px"></div>
 <script>
-let th=0.5, ph=0.3, r=2.5, drag=false, lx, ly, mode="render", busy=false;
+let th=0.5, ph=0.3, r=2.5, li=0, drag=false, lx, ly, mode="render", busy=false;
 async function frame(){ if(busy) return; busy=true;
  const t0=performance.now();
- const res=await fetch(`/render?theta=${th}&phi=${ph}&radius=${r}&mode=${mode}`);
+ const res=await fetch(`/render?theta=${th}&phi=${ph}&radius=${r}&mode=${mode}&light=${li}`);
  const blob=await res.blob(); v.src=URL.createObjectURL(blob);
- s.textContent=`${(performance.now()-t0).toFixed(0)} ms  θ=${th.toFixed(2)} φ=${ph.toFixed(2)} r=${r.toFixed(2)} [${mode}] (keys: m=mode, wheel=zoom)`;
+ s.textContent=`${(performance.now()-t0).toFixed(0)} ms  θ=${th.toFixed(2)} φ=${ph.toFixed(2)} r=${r.toFixed(2)} [${mode}] (keys: m=mode, l/L=light, wheel=zoom)`;
  busy=false; }
 v.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY};
 window.onmouseup=()=>drag=false;
 window.onmousemove=e=>{if(!drag)return; th+=(e.clientX-lx)*0.01; ph+=(e.clientY-ly)*0.01;
  ph=Math.max(-1.4,Math.min(1.4,ph)); lx=e.clientX; ly=e.clientY; frame();};
 window.onwheel=e=>{r*=e.deltaY>0?1.1:0.9; frame();};
-window.onkeydown=async e=>{ if(e.key=='m'){ const ms=await (await fetch('/modes')).json();
+window.onkeydown=async e=>{ if(e.key=='l'){li+=0.2;frame();} if(e.key=='L'){li-=0.2;frame();} if(e.key=='m'){ const ms=await (await fetch('/modes')).json();
  mode=ms[(ms.indexOf(mode)+1)%ms.length]; frame(); }};
 frame(); setInterval(frame, 250);
 </script></body></html>"""
@@ -68,9 +68,18 @@ frame(); setInterval(frame, 250);
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("-p", "--ply", required=True)
+    ap.add_argument("-p", "--ply", default=None)
+    ap.add_argument("-co", "--config", default=None,
+                    help="composition config dir (transform.json) — "
+                         "load + merge multiple PLYs and relight "
+                         "interactively (reference gui.py:388-407)")
+    ap.add_argument("-e", "--envmap_path", default=None,
+                    help="HDR env map for composition relighting")
+    ap.add_argument("--bake", action="store_true",
+                    help="composition: bake visibility SH instead of "
+                         "ray-traced precompute")
     ap.add_argument("-t", "--type", default="render",
-                    choices=["render", "neilf", "shader"])
+                    choices=["render", "neilf", "shader", "composite"])
     ap.add_argument("--width", type=int, default=400)
     ap.add_argument("--height", type=int, default=400)
     ap.add_argument("--port", type=int, default=8600)
@@ -101,8 +110,30 @@ def main() -> None:
     from relightable3dgaussian_tpu.ops.rasterize import RasterizeConfig
     from relightable3dgaussian_tpu.training import checkpoint as ckpt
 
-    st = ckpt.load_ply(args.ply, use_pbr=args.type == "neilf")
-    print(f"loaded {int(st.num_alive)} splats", flush=True)
+    vis = envmap = None
+    if args.config:
+        import json as _json
+
+        from relightable3dgaussian_tpu.models import compose
+        args.type = "composite"
+        with open(os.path.join(args.config, "transform.json")) as f:
+            scene_dict = _json.load(f)
+        st = compose.load_composition(scene_dict)
+        if args.bake:
+            st = compose.finetune_visibility(st, iterations=1000)
+        else:
+            print("precomputing ray-traced visibility...", flush=True)
+            vis = compose.precompute_visibility(
+                st, sample_num=args.sample_num)
+        if args.envmap_path:
+            envmap = L.load_envmap(args.envmap_path)
+        else:
+            envmap = L.EnvMap(image=jnp.ones((64, 128, 3)) * 0.8)
+    else:
+        if not args.ply:
+            ap.error("one of --ply / --config is required")
+        st = ckpt.load_ply(args.ply, use_pbr=args.type == "neilf")
+        print(f"loaded {int(st.num_alive)} splats", flush=True)
     cfg = RasterizeConfig(width=args.width, height=args.height)
     bg = jnp.zeros(3)
     env = L.create_direct_light(3) if args.type == "neilf" else None
@@ -119,12 +150,21 @@ def main() -> None:
                              list(S.SPLAT_SHADERS).index(args.splat_shader),
                              jnp.int32)
 
-    def render_frame(cam, mode="render"):
+    def render_frame(cam, mode="render", light=0.0):
         camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
         now = (time.time() - clock["t0"]) * 1000.0
         dt = now - clock["last"]
         clock["last"] = now
-        if args.type == "neilf":
+        if args.type == "composite":
+            from relightable3dgaussian_tpu.models import compose
+            ca, sa = np.cos(light), np.sin(light)
+            rot = jnp.asarray(np.array(
+                [[ca, -sa, 0.0], [sa, ca, 0.0], [0.0, 0.0, 1.0]],
+                np.float32))
+            res = compose.render_composite(
+                st, camera, bg, cfg, envmap, visibility_precomp=vis,
+                sample_num=args.sample_num, light_transform=rot)
+        elif args.type == "neilf":
             res = NF.render_view(st.params, st.alive, camera, bg, cfg,
                                  env_light=env, sample_num=args.sample_num,
                                  is_training=False)
@@ -163,7 +203,8 @@ def main() -> None:
             t0 = time.time()
             img, _ = render_frame(orbit_camera(
                 2 * np.pi * i / args.turntable, 0.3, 2.5,
-                args.width, args.height))
+                args.width, args.height),
+                light=2 * np.pi * i / args.turntable)
             jax.block_until_ready(img)
             times.append(time.time() - t0)
             save_image(os.path.join(args.output, f"frame_{i:04d}.png"), img)
@@ -207,7 +248,7 @@ def main() -> None:
                                get("radius", 2.5), args.width, args.height)
             mode = q.get("mode", ["render"])[0]
             t0 = time.time()
-            img, _ = render_frame(cam, mode)
+            img, _ = render_frame(cam, mode, light=get("light", 0.0))
             ms = (time.time() - t0) * 1000
             buf = io.BytesIO()
             Image.fromarray((img * 255).astype(np.uint8)).save(
