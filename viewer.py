@@ -89,6 +89,9 @@ def main() -> None:
     ap.add_argument("--splat_shader", default=None)
     ap.add_argument("--post", default="",
                     help="comma-separated post passes (shader mode)")
+    ap.add_argument("--max_per_tile", type=int, default=None,
+                    help="per-tile depth budget K (default: config)")
+    ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--turntable", type=int, default=0,
                     help="render N offline orbit frames and exit")
     ap.add_argument("--output", default="./turntable")
@@ -134,7 +137,12 @@ def main() -> None:
             ap.error("one of --ply / --config is required")
         st = ckpt.load_ply(args.ply, use_pbr=args.type == "neilf")
         print(f"loaded {int(st.num_alive)} splats", flush=True)
-    cfg = RasterizeConfig(width=args.width, height=args.height)
+    cfg_kw = {}
+    if args.max_per_tile:
+        cfg_kw["max_per_tile"] = args.max_per_tile
+    if args.chunk:
+        cfg_kw["chunk"] = args.chunk
+    cfg = RasterizeConfig(width=args.width, height=args.height, **cfg_kw)
     bg = jnp.zeros(3)
     env = L.create_direct_light(3) if args.type == "neilf" else None
     clock = {"t0": time.time(), "last": 0.0}
@@ -150,40 +158,59 @@ def main() -> None:
                              list(S.SPLAT_SHADERS).index(args.splat_shader),
                              jnp.int32)
 
+    # One jitted frame function per mode: the render paths are pure
+    # jittable fns; calling them eagerly dispatches thousands of ops
+    # per frame through the device transport (measured 4.1 s/frame vs
+    # ~60 ms jitted at 800², 100k splats on v5e).  Scalars that change
+    # every frame (clock, light angle) are traced arguments.
+    if args.type == "composite":
+        from relightable3dgaussian_tpu.models import compose
+
+        @jax.jit
+        def frame_fn(camera, t, dt, light):
+            ca, sa = jnp.cos(light), jnp.sin(light)
+            rot = jnp.array([[ca, -sa, 0.0], [sa, ca, 0.0],
+                             [0.0, 0.0, 1.0]])
+            return compose.render_composite(
+                st, camera, bg, cfg, envmap, visibility_precomp=vis,
+                sample_num=args.sample_num, light_transform=rot)
+    elif args.type == "neilf":
+        @jax.jit
+        def frame_fn(camera, t, dt, light):
+            return NF.render_view(
+                st.params, st.alive, camera, bg, cfg, env_light=env,
+                sample_num=args.sample_num, is_training=False)
+    elif args.type == "shader":
+        @jax.jit
+        def frame_fn(camera, t, dt, light):
+            return shadergs.render(
+                st.params, st.alive, camera, bg, cfg,
+                sh_shader_ids=sh_ids, splat_shader_ids=splat_ids,
+                post_passes=post, time=t, dt=dt)
+    else:
+        @jax.jit
+        def frame_fn(camera, t, dt, light):
+            return R.render_view(st.params, st.alive, camera, bg, cfg,
+                                 compute_pseudo_normal=True)
+
     def render_frame(cam, mode="render", light=0.0):
         camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
         now = (time.time() - clock["t0"]) * 1000.0
         dt = now - clock["last"]
         clock["last"] = now
-        if args.type == "composite":
-            from relightable3dgaussian_tpu.models import compose
-            ca, sa = np.cos(light), np.sin(light)
-            rot = jnp.asarray(np.array(
-                [[ca, -sa, 0.0], [sa, ca, 0.0], [0.0, 0.0, 1.0]],
-                np.float32))
-            res = compose.render_composite(
-                st, camera, bg, cfg, envmap, visibility_precomp=vis,
-                sample_num=args.sample_num, light_transform=rot)
-        elif args.type == "neilf":
-            res = NF.render_view(st.params, st.alive, camera, bg, cfg,
-                                 env_light=env, sample_num=args.sample_num,
-                                 is_training=False)
-        elif args.type == "shader":
-            res = shadergs.render(st.params, st.alive, camera, bg, cfg,
-                                  sh_shader_ids=sh_ids,
-                                  splat_shader_ids=splat_ids,
-                                  post_passes=post, time=now, dt=dt)
-        else:
-            res = R.render_view(st.params, st.alive, camera, bg, cfg,
-                                compute_pseudo_normal=True)
+        res = frame_fn(camera, jnp.float32(now), jnp.float32(dt),
+                       jnp.float32(light))
         img = res.get(mode, res["render"])
-        img = np.asarray(img)
+        # display transforms + u8 quantization ON DEVICE: transferring
+        # 800² f32 through the host link is 4x the bytes of u8 and
+        # dominated the frame time
         if img.ndim == 2:
-            img = np.repeat(img[..., None], 3, -1)
-            img = img / max(img.max(), 1e-6)
+            img = jnp.repeat(img[..., None], 3, -1)
+            img = img / jnp.maximum(jnp.max(img), 1e-6)
         if "normal" in mode:
             img = img * 0.5 + 0.5
-        return np.clip(img[..., :3], 0, 1), res
+        img = (jnp.clip(img[..., :3], 0, 1) * 255).astype(jnp.uint8)
+        return np.asarray(img) / 255.0, res
 
     # warm up / compile
     t0 = time.time()
@@ -212,6 +239,24 @@ def main() -> None:
         print(f"turntable: {args.turntable} frames, median "
               f"{np.median(times) * 1000:.1f} ms/frame = {fps:.1f} fps",
               flush=True)
+        # device-only rate: pipeline a block of frames and block once —
+        # what a host-local deployment sees (no per-frame transport
+        # round trip; the dev relay adds ~200 ms/frame of dispatch +
+        # transfer that PCIe-attached hosts do not pay)
+        cams = [orbit_camera(2 * np.pi * i / 8, 0.3, 2.5, args.width,
+                             args.height) for i in range(8)]
+        camd = [{k: jnp.asarray(v) for k, v in c.render_inputs().items()}
+                for c in cams]
+        z = jnp.float32(0.0)
+        out = frame_fn(camd[0], z, z, z)
+        jax.block_until_ready(out["render"])
+        t0 = time.time()
+        for cd in camd:
+            out = frame_fn(cd, z, z, z)
+        jax.block_until_ready(out["render"])
+        dev_ms = (time.time() - t0) / len(camd) * 1000
+        print(f"device-only (pipelined): {dev_ms:.1f} ms/frame = "
+              f"{1000.0 / dev_ms:.1f} fps", flush=True)
         return
 
     from http.server import BaseHTTPRequestHandler, HTTPServer
