@@ -54,11 +54,12 @@ def main() -> None:
     state = G.create_from_points(pts, cols, capacity=capacity,
                                  init_scale=np.full(P, 0.012, np.float32))
 
-    # K=288/chunk=96: exact on this scene (max per-tile count 281, zero
-    # dropped_* — asserted below); every routed byte (gather, kernel DMA,
-    # grad scatter) scales with T*K, so the tight budget is ~16% faster
-    # than K=512 at identical output.
-    cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=32,
+    # K=288/chunk=96, M=20: exact on this scene (max per-tile count 281,
+    # max tiles/splat < 20, zero dropped_* — asserted below); every
+    # routed byte (gather, kernel DMA, grad scatter) scales with T*K and
+    # the sort with P*M, so tight budgets are pure win at identical
+    # output.
+    cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=20,
                           max_per_tile=288, chunk=96)
 
     c = np.array([0.0, 0.0, 2.8])

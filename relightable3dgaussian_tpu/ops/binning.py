@@ -41,6 +41,14 @@ class TileBins(NamedTuple):
     gsort_gauss: jnp.ndarray | None = None  # [cap] int32 gaussian id (P=drop)
     gsort_pos: jnp.ndarray | None = None    # [cap] int32 flat (t*K+k) slot
     dropped_grad: jnp.ndarray | None = None  # [] int32 instances beyond cap
+    # Stream mode (`bin_splats(stream=True)`): the Pallas compositor
+    # window-DMAs tile segments straight out of the sorted instance
+    # array, so the dense [T, K] lists above are never built (idx/mask
+    # are None).  stream_ids is the tile-sorted gaussian-id prefix
+    # [T*K]; stream_starts[t] is tile t's segment offset into it.
+    stream_starts: jnp.ndarray | None = None  # [T] int32
+    stream_ids: jnp.ndarray | None = None     # [T*K] int32
+    dropped_stream: jnp.ndarray | None = None  # [] int32 beyond-cap rows
 
 
 def expand_instance_keys(
@@ -115,6 +123,8 @@ def bin_splats(
     max_tiles_per_gaussian: int,
     max_per_tile: int,
     grad_cap: int | None = None,
+    stream: bool = False,
+    stream_cap: int | None = None,
 ) -> TileBins:
     """Build the dense per-tile splat lists.
 
@@ -126,6 +136,12 @@ def bin_splats(
       max_per_tile: static K — splats beyond the K nearest per tile are
         dropped (they sit behind ~K compositing layers and contribute
         nothing once transmittance saturates).
+      stream: skip the dense [T, K] lists and return the sorted
+        instance-id prefix + per-tile offsets instead (the Pallas stream
+        compositor's input; idx/mask come back None).
+      stream_cap: stream prefix length (default T*K — exact whenever
+        dropped_tile == 0; overflow beyond it is counted in
+        dropped_stream and those tiles render from clamped windows).
     """
     gx, gy = grid
     num_tiles = gx * gy
@@ -147,9 +163,30 @@ def bin_splats(
     starts = boundaries[:-1]
     counts = boundaries[1:] - starts
 
+    if stream:
+        # With dropped_tile == 0, sum(counts) <= T*K, so the T*K-row
+        # prefix holds every surviving instance; overflow beyond it is
+        # counted (those tiles render from clamped windows).
+        icap = stream_cap if stream_cap is not None else num_tiles * K
+        dropped_tile = jnp.sum(jnp.maximum(counts - K, 0))
+        dropped_stream = jnp.maximum(boundaries[-1] - icap, 0)
+        sstarts = jnp.minimum(starts, icap)
+        scounts = jnp.minimum(jnp.minimum(counts, K),
+                              icap - sstarts)
+        sids = id_sorted[:icap] if id_sorted.shape[0] >= icap else \
+            jnp.pad(id_sorted, (0, icap - id_sorted.shape[0]))
+        return TileBins(
+            idx=None, mask=None, counts=scounts,
+            num_instances=num_instances, dropped_rect=dropped_rect,
+            dropped_tile=dropped_tile, stream_starts=sstarts,
+            stream_ids=sids, dropped_stream=dropped_stream)
+
     # --- dense [T, K] lists: one windowed dynamic-slice gather per tile
     # (K consecutive elements starting at starts[t]) — wide contiguous
-    # transactions instead of T*K scalar gathers (~10x on TPU) ---
+    # transactions instead of T*K scalar gathers (~10x on TPU).  The
+    # sequential XLA loop this lowers to costs ~1.6 µs/tile (measured
+    # 4 ms/step at T=2500); the stream compositor path (`stream=True`)
+    # avoids building these lists at all. ---
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     mask = slot < counts[:, None]
     id_padded = jnp.pad(id_sorted, (0, K))

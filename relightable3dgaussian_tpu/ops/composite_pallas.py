@@ -192,7 +192,8 @@ def _backward_kernel(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
 def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
                        ft_ref, ckpt_t_ref, ckpt_s_ref, gdata_ref, tb,
                        *, C: int, F: int, nchunks: int, gx: int,
-                       tiled: bool = False):
+                       tiled: bool = False, gtb: int | None = None):
+    gtb = tb if gtb is None else gtb
     row = pl.program_id(0) * TB + tb
     pixx, pixy = _pixel_coords(gx, tids_ref[row])
     count = counts_ref[row]
@@ -202,7 +203,7 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
     # final_t = exp(log_t_final) was saved by the forward.
     g_log_t0 = gt_ref[tb] * ft_ref[tb]                   # [1, P2]
 
-    gdata_ref[tb] = jnp.zeros(
+    gdata_ref[gtb] = jnp.zeros(
         (nchunks * C, 128 if tiled else 6 + F), jnp.float32)
 
     # A chunk was processed by the forward iff some pixel was still
@@ -282,7 +283,11 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
         g_op = jnp.sum(g_op_pix, axis=1, keepdims=True)
 
         parts = [g_xs, g_ys, g_ca, g_cb, g_cc, g_op, g_feat]
-        if tiled:
+        if tiled == "pad128":
+            # full-lane rows for the stream path's window-write DMA
+            parts.append(jnp.zeros((C, 122 - F), jnp.float32))
+            g_chunk = jnp.concatenate(parts, axis=1)
+        elif tiled:
             # replicate across the lane groups the reduction kernel
             # expects (free: [*, 6+F] is lane-padded to 128 in HBM anyway)
             G, _packs = _grad_group(6 + F)
@@ -293,7 +298,7 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
             g_chunk = jnp.concatenate([grp] * (128 // G), axis=1)
         else:
             g_chunk = jnp.concatenate(parts, axis=1)
-        gdata_ref[tb, pl.ds(c * C, C), :] = g_chunk
+        gdata_ref[gtb, pl.ds(c * C, C), :] = g_chunk
 
         # propagate to earlier chunks: d logT_in touches every term
         g_log_t_new = jnp.sum(gww, axis=0)[None, :] + g_log_t
@@ -636,6 +641,239 @@ def _packed_bwd(grid, chunk, F, res, cotangents):
 _composite_packed.defvjp(_packed_fwd, _packed_bwd)
 
 
+# ---- stream path: kernels window-DMA tile segments out of the sorted
+# instance array, so the dense [T, K] index lists — a ~4 ms/step
+# sequential windowed-gather loop at 800² — are never built; the
+# backward's scatter targets are the stream ids themselves. ----
+
+
+def _stream_windows(starts_ref, rows_ref, scratch, sems):
+    """Double-buffered window DMAs: at grid step s, wait for the windows
+    prefetched at step s-1 into buffer s%2 and start step s+1's into
+    the other — DMA latency rides under the step's compute."""
+    s = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    cur = jax.lax.rem(s, 2)
+
+    def start(step, buf):
+        for tb in range(TB):
+            pltpu.make_async_copy(
+                rows_ref.at[pl.ds(starts_ref[step * TB + tb],
+                                  scratch.shape[2])],
+                scratch.at[buf, tb], sems.at[buf, tb]).start()
+
+    @pl.when(s == 0)
+    def _first():
+        start(0, 0)
+
+    @pl.when(s + 1 < nsteps)
+    def _prefetch():
+        start(s + 1, 1 - cur)
+
+    for tb in range(TB):
+        pltpu.make_async_copy(
+            rows_ref.at[pl.ds(starts_ref[s * TB + tb], scratch.shape[2])],
+            scratch.at[cur, tb], sems.at[cur, tb]).wait()
+    return cur
+
+
+def _forward_stream_kernel(counts_ref, tids_ref, starts_ref, rows_ref,
+                           img_ref, t_ref, last_ref, ckpt_t_ref,
+                           ckpt_s_ref, scratch, sems,
+                           *, C: int, F: int, K: int, gx: int):
+    nchunks = K // C
+    cur = _stream_windows(starts_ref, rows_ref, scratch, sems)
+    for tb in range(TB):
+        _forward_one_tile(counts_ref, tids_ref, scratch.at[cur], img_ref,
+                          t_ref, last_ref, ckpt_t_ref, ckpt_s_ref,
+                          tb, C=C, F=F, nchunks=nchunks, gx=gx)
+
+
+def _backward_stream_kernel(counts_ref, tids_ref, starts_ref, rows_ref,
+                            gimg_ref, gt_ref, ft_ref, ckpt_t_ref,
+                            ckpt_s_ref, gout_ref, scratch, sems,
+                            gbuf, wsem, *, C: int, F: int, K: int,
+                            gx: int):
+    """Backward with STREAM-POSITIONED gradient output: tile t's [K, D]
+    gradient rows are DMA'd to gout[starts[t] : starts[t]+K], so the
+    flat output aligns with stream_ids (the scatter targets).  Windows
+    of consecutive tiles overlap by K - count rows; writes are strictly
+    ordered (wait the previous write before starting the next), so the
+    later owner's rows always land last — zero tails never clobber a
+    neighbour that wrote after them."""
+    nchunks = K // C
+    s = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    cur = _stream_windows(starts_ref, rows_ref, scratch, sems)
+    for tb in range(TB):
+        buf = tb % 2
+        _backward_one_tile(counts_ref, tids_ref, scratch.at[cur],
+                           gimg_ref, gt_ref, ft_ref, ckpt_t_ref,
+                           ckpt_s_ref, gbuf.at[buf], tb, C=C, F=F,
+                           nchunks=nchunks, gx=gx, gtb=0,
+                           tiled="pad128")
+        row = s * TB + tb
+        w = pltpu.make_async_copy(
+            gbuf.at[buf, 0], gout_ref.at[pl.ds(starts_ref[row], K)],
+            wsem)
+
+        @pl.when(row > 0)
+        def _order():  # strict write order: one write in flight
+            pltpu.make_async_copy(
+                gbuf.at[1 - buf, 0],
+                gout_ref.at[pl.ds(starts_ref[row - 1], K)], wsem).wait()
+
+        w.start()
+
+    @pl.when(s == nsteps - 1)
+    def _drain():
+        last = TB * nsteps - 1
+        pltpu.make_async_copy(
+            gbuf.at[last % 2, 0],
+            gout_ref.at[pl.ds(starts_ref[last], K)], wsem).wait()
+
+
+def _pad_tb(T0, *arrays):
+    padT = (-T0) % TB
+    if padT:
+        arrays = tuple(
+            jnp.pad(a, [(0, padT)] + [(0, 0)] * (a.ndim - 1))
+            for a in arrays)
+    return T0 + padT, arrays
+
+
+def _stream_fwd_impl(packed128, stream_ids, starts, counts, tile_ids,
+                     grid, chunk, F, K, *, want_ckpt=False):
+    gx, gy = grid
+    T0 = counts.shape[0]
+    # pad the (small) id array, not the [*, 128] rows: window overshoot
+    sids = jnp.pad(stream_ids, (0, K))
+    rows = jnp.take(packed128, sids, axis=0,
+                    mode="clip")                       # [T*K + K, 128]
+    T, (counts, tile_ids, starts) = _pad_tb(T0, counts, tile_ids, starts)
+    nchunks = K // chunk
+    kern = functools.partial(_forward_stream_kernel, C=chunk, F=F, K=K,
+                             gx=gx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T // TB,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((TB, P2, F), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, TB, K, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, TB)),
+        ],
+    )
+    img, final_t, last, ckpt_t, ckpt_s = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, P2, F), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P2), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, P2), jnp.int32),
+            jax.ShapeDtypeStruct((T, nchunks, P2), jnp.float32),
+            jax.ShapeDtypeStruct((T, nchunks, P2), jnp.float32),
+        ],
+    )(counts, tile_ids, starts, rows)
+    out = (img[:T0], final_t.reshape(T, P2)[:T0],
+           last.reshape(T, P2)[:T0])
+    if want_ckpt:
+        return out, (rows, final_t, ckpt_t, ckpt_s)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _composite_stream(packed128, stream_ids, starts, counts, tile_ids,
+                      grid, chunk, F, K):
+    return _stream_fwd_impl(packed128, stream_ids, starts, counts,
+                            tile_ids, grid, chunk, F, K)
+
+
+def _stream_fwd(packed128, stream_ids, starts, counts, tile_ids,
+                grid, chunk, F, K):
+    out, (rows, final_t, ckpt_t, ckpt_s) = _stream_fwd_impl(
+        packed128, stream_ids, starts, counts, tile_ids, grid, chunk, F,
+        K, want_ckpt=True)
+    return out, (rows, stream_ids, starts, counts, tile_ids, final_t,
+                 ckpt_t, ckpt_s, packed128.shape[0])
+
+
+def _stream_bwd(grid, chunk, F, K, res, cotangents):
+    (rows, stream_ids, starts, counts, tile_ids, final_t, ckpt_t,
+     ckpt_s, P) = res
+    g_img, g_t, _ = cotangents
+    gx, gy = grid
+    T0 = counts.shape[0]
+    N = stream_ids.shape[0]
+    g_t = g_t.reshape(T0, 1, P2)
+    T, (counts, tile_ids, g_img, g_t) = _pad_tb(
+        T0, counts, tile_ids, g_img, g_t)
+    # padding tiles write their (all-zero) windows into the overshoot
+    # tail, NOT at 0 where they would clobber tile 0's gradients
+    starts_k = jnp.concatenate(
+        [starts, jnp.full(T - T0, N, jnp.int32)]) if T > T0 else starts
+    nchunks = K // chunk
+    kern = functools.partial(_backward_stream_kernel, C=chunk, F=F, K=K,
+                             gx=gx)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T // TB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TB, P2, F), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, TB, K, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, TB)),
+            pltpu.VMEM((2, 1, K, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    gout = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N + K, 128), jnp.float32),
+    )(counts, tile_ids, starts_k, rows, g_img, g_t, final_t, ckpt_t,
+      ckpt_s)
+    # Scatter straight back by stream id.  Positions no window wrote
+    # (per-tile K-overflow gaps, the tail past the last window) hold
+    # uninitialized memory: mask their targets out-of-range so the
+    # scatter drops them.
+    delta = jnp.zeros(N + K + 1, jnp.int32)
+    delta = delta.at[starts].add(1).at[starts + K].add(-1)
+    covered = jnp.cumsum(delta)[:N + K] > 0
+    covered = covered & (jnp.arange(N + K) < N)
+    # scatter all N+K rows (slicing [:N] would copy 368 MB); the K
+    # overshoot rows are masked out-of-range and dropped
+    ids = jnp.where(covered, jnp.pad(stream_ids, (0, K)), P)
+    g_packed = jnp.zeros((P, 128), jnp.float32).at[ids].add(gout)
+    return g_packed, None, None, None, None
+
+
+_composite_stream.defvjp(_stream_fwd, _stream_bwd)
+
+
 def composite_pallas_from_data(
     data: jnp.ndarray,
     counts: jnp.ndarray,
@@ -680,6 +918,7 @@ def composite_pallas(
     chunk: int = 32,
     tile_axis: str | None = None,
     tile_shards: int = 1,
+    max_per_tile: int | None = None,
 ) -> CompositeOutput:
     """Pallas-accelerated `composite` (same signature and semantics).
 
@@ -688,8 +927,33 @@ def composite_pallas(
     reassembled with an all_gather — the kernel-backed version of the jnp
     twin's tile sharding."""
     gx, gy = grid
-    T, K = bins.idx.shape
     F = feats.shape[-1]
+
+    if bins.stream_ids is not None:
+        # stream mode: no dense lists; kernels window the sorted
+        # instance rows, grad rows carry their own scatter targets
+        assert tile_axis is None and 6 + F <= 126
+        T = bins.counts.shape[0]
+        K = max_per_tile if max_per_tile is not None else \
+            bins.stream_ids.shape[0] // T
+        assert K % chunk == 0, (K, chunk)
+        P = xy.shape[0]
+        # 128 lanes exactly: Mosaic window DMAs need full-lane-tile rows
+        # (physically free — the [P, 6+F] layout is lane-padded anyway)
+        packed128 = jnp.pad(
+            jnp.concatenate([xy, conic, opacity[:, None], feats],
+                            axis=-1),
+            ((0, 0), (0, 122 - F)))
+        img, final_t, last = _composite_stream(
+            packed128, bins.stream_ids, bins.stream_starts, bins.counts,
+            jnp.arange(T, dtype=jnp.int32), grid, chunk, F, K)
+        return CompositeOutput(
+            image=untile_rows(img, grid),
+            final_t=untile_rows(final_t, grid),
+            n_contrib=untile_rows(last, grid),
+        )
+
+    T, K = bins.idx.shape
     assert K % chunk == 0, (K, chunk)
 
     idx, mask, counts = bins.idx, bins.mask, bins.counts

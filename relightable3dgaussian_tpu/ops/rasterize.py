@@ -73,7 +73,8 @@ def composite_dispatch(cfg: RasterizeConfig, bins, xy, conic, opacity,
         from . import composite_pallas as cpal
         return cpal.composite_pallas(
             bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk,
-            tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)
+            tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards,
+            max_per_tile=cfg.max_per_tile)
     return comp.composite(
         bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk,
         tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)
@@ -130,9 +131,18 @@ def rasterize(
         xy_offset=xy_offset,
     )
 
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    # Stream mode: the Pallas compositor window-DMAs tile segments
+    # straight out of the sorted instance array, so the dense [T, K]
+    # lists (a ~4 ms sequential windowed-gather loop at 800²) are never
+    # built.  Single-device kernel path only.
+    stream = (backend == "pallas" and cfg.tile_axis is None
+              and cfg.max_grad_instances is None)
     bins = binning.bin_splats(
         proj, cfg.grid, cfg.max_tiles_per_gaussian, cfg.max_per_tile,
-        grad_cap=cfg.max_grad_instances)
+        grad_cap=cfg.max_grad_instances, stream=stream)
     # Indices are integer routing decisions, never differentiated.
     bins = jax.tree.map(jax.lax.stop_gradient, bins)
 
@@ -168,5 +178,7 @@ def rasterize(
             "dropped_tile": bins.dropped_tile,
             **({"dropped_grad": bins.dropped_grad}
                if bins.dropped_grad is not None else {}),
+            **({"dropped_stream": bins.dropped_stream}
+               if bins.dropped_stream is not None else {}),
         },
     )

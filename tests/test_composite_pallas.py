@@ -224,3 +224,84 @@ def test_reduce_rows_pallas_matches_scatter(D):
     np.add.at(want, ids[ids < P], rows[ids < P])
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4,
                                rtol=1e-5)
+
+
+# ---- stream mode: window-DMA kernels, id-lane scatter targets ----
+
+
+def make_stream_bins(P=80, seed=0, opaque=False):
+    proj, _, grid, feats = make_proj(P=P, seed=seed, opaque=opaque)
+    sbins = binning.bin_splats(proj, grid, 32, 64, stream=True)
+    return proj, sbins, grid, feats
+
+
+@pytest.mark.parametrize("opaque", [False, True])
+def test_stream_forward_matches_jnp(opaque):
+    proj, _, grid, feats = make_proj(opaque=opaque, seed=3)
+    dbins = binning.bin_splats(proj, grid, 32, 64)
+    sbins = binning.bin_splats(proj, grid, 32, 64, stream=True)
+    assert sbins.idx is None and int(sbins.dropped_stream) == 0
+    ref = comp.composite(dbins, proj.xy, proj.conic, proj.opacity, feats,
+                         grid, chunk=16)
+    with pltpu.force_tpu_interpret_mode():
+        got = cpal.composite_pallas(sbins, proj.xy, proj.conic,
+                                    proj.opacity, feats, grid, chunk=16)
+    np.testing.assert_allclose(np.asarray(got.image),
+                               np.asarray(ref.image), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.final_t),
+                               np.asarray(ref.final_t), atol=1e-5,
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.n_contrib),
+                                  np.asarray(ref.n_contrib))
+
+
+def test_stream_gradients_match_jnp():
+    proj, sbins, grid, feats = make_stream_bins(P=40, seed=7)
+    dbins = binning.bin_splats(proj, grid, 32, 64)
+    tgt = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (grid[1] * 16, grid[0] * 16, 6)).astype(np.float32))
+
+    def loss(bins_, use_pallas):
+        def fn(xy, conic, op, feats):
+            mod = cpal.composite_pallas if use_pallas else comp.composite
+            out = mod(bins_, xy, conic, op, feats, grid, chunk=16)
+            return (jnp.sum((out.image - tgt) ** 2)
+                    + jnp.sum(out.final_t ** 2) * 0.1)
+        return fn
+
+    args = (proj.xy, proj.conic, proj.opacity, feats)
+    g_ref = jax.grad(loss(dbins, False), argnums=(0, 1, 2, 3))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        g_str = jax.grad(loss(sbins, True), argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g_str, g_ref, ["xy", "conic", "op", "feats"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_stream_gradients_with_tile_overflow():
+    """Tiles beyond the K budget leave unwritten gaps in the stream
+    output; the coverage mask must drop them (vs the dense path which
+    truncates identically)."""
+    proj, _, grid, feats = make_proj(P=80, seed=11)
+    dbins = binning.bin_splats(proj, grid, 32, 16)   # K=16: overflow
+    sbins = binning.bin_splats(proj, grid, 32, 16, stream=True,
+                               stream_cap=80 * 32)
+    assert int(sbins.dropped_tile) > 0
+    assert int(sbins.dropped_stream) == 0
+    tgt = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 1, (grid[1] * 16, grid[0] * 16, 6)).astype(np.float32))
+
+    def loss(bins_):
+        def fn(xy, conic, op, feats):
+            out = cpal.composite_pallas(bins_, xy, conic, op, feats,
+                                        grid, chunk=16, max_per_tile=16)
+            return jnp.sum((out.image - tgt) ** 2)
+        return fn
+
+    args = (proj.xy, proj.conic, proj.opacity, feats)
+    with pltpu.force_tpu_interpret_mode():
+        g_d = jax.grad(loss(dbins), argnums=(0, 1, 2, 3))(*args)
+        g_s = jax.grad(loss(sbins), argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g_s, g_d, ["xy", "conic", "op", "feats"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
