@@ -111,3 +111,44 @@ def load_train_state(path: str, template: Any) -> Any:
     return jax.tree.map(
         lambda t, r: t if hasattr(t, "size") and t.size == 0 else r,
         jax.device_get(template), restored)
+
+
+# --- elastic training snapshots -------------------------------------
+# Failure/preemption recovery (SURVEY §5): the driver saves the FULL
+# TrainState (params + Adam moments + step) at intervals and can resume
+# from the latest one — the reference only offers torch.save tuples
+# loaded by an explicit --checkpoint path (train.py:200-213); here
+# `--resume` finds the newest snapshot automatically and training
+# continues with the schedule (densify window, SH warmup) intact.
+
+_SNAP_PREFIX = "snap_"
+
+
+def save_train_snapshot(model_dir: str, step: int, train_state: Any,
+                        keep: int = 2) -> str:
+    """Write `<model_dir>/snapshots/snap_<step>`; prune to `keep` newest."""
+    root = os.path.join(os.path.abspath(model_dir), "snapshots")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"{_SNAP_PREFIX}{step}")
+    save_train_state(path, train_state)
+    snaps = sorted(
+        (int(d[len(_SNAP_PREFIX):]) for d in os.listdir(root)
+         if d.startswith(_SNAP_PREFIX)), reverse=True)
+    for old in snaps[keep:]:
+        import shutil
+        shutil.rmtree(os.path.join(root, f"{_SNAP_PREFIX}{old}"),
+                      ignore_errors=True)
+    return path
+
+
+def latest_train_snapshot(model_dir: str) -> tuple[int, str] | None:
+    """(step, path) of the newest snapshot under model_dir, or None."""
+    root = os.path.join(os.path.abspath(model_dir), "snapshots")
+    if not os.path.isdir(root):
+        return None
+    steps = [int(d[len(_SNAP_PREFIX):]) for d in os.listdir(root)
+             if d.startswith(_SNAP_PREFIX)]
+    if not steps:
+        return None
+    step = max(steps)
+    return step, os.path.join(root, f"{_SNAP_PREFIX}{step}")

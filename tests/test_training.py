@@ -162,3 +162,29 @@ def test_pbr_driver_loop_with_densify():
     p = tstate.gaussians.params
     for f in ["xyz", "base_color", "incidents_dc", "visibility_rest"]:
         assert np.isfinite(np.asarray(getattr(p, f))).all(), f
+
+
+def test_train_snapshot_resume_cycle(tmp_path):
+    """Elastic recovery: snapshot at step N, prune old ones, resume the
+    newest with optimizer moments and step intact."""
+    st, cam, cfg = make_setup()
+    tstate, tx = T.init_train_state(st, opt_mod.OptimConfig())
+    camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
+    gt = {"image": jnp.asarray(cam.image)}
+    tstate, _ = T.train_step(tstate, camera, gt, jnp.zeros(3), tx, cfg,
+                             R.LossConfig(), 0)
+
+    for step in (10, 20, 30):
+        ckpt.save_train_snapshot(str(tmp_path), step, tstate, keep=2)
+    snaps = sorted(os.listdir(tmp_path / "snapshots"))
+    assert snaps == ["snap_20", "snap_30"]  # pruned to keep=2
+
+    got = ckpt.latest_train_snapshot(str(tmp_path))
+    assert got is not None and got[0] == 30
+    fresh, _ = T.init_train_state(st, opt_mod.OptimConfig())
+    restored = ckpt.load_train_state(got[1], fresh)
+    np.testing.assert_allclose(
+        np.asarray(restored.gaussians.params.xyz),
+        np.asarray(tstate.gaussians.params.xyz))
+    assert int(restored.step) == int(tstate.step)
+    assert ckpt.latest_train_snapshot(str(tmp_path / "nope")) is None

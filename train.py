@@ -24,6 +24,10 @@ def main() -> None:
                     choices=["render", "neilf"])
     ap.add_argument("-c", "--checkpoint", default=None,
                     help="PLY to resume from (stage 2)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest TrainState snapshot "
+                         "in model_path (full optimizer state + step; "
+                         "written every --save_interval)")
     ap.add_argument("--iterations", type=int, default=30_000)
     ap.add_argument("--capacity", type=int, default=2 ** 19)
     ap.add_argument("--sh_degree", type=int, default=3)
@@ -186,6 +190,13 @@ def main() -> None:
             iterations=args.iterations,
             white_background=args.white_background)
         done = 0
+        if args.resume:
+            snap = ckpt.latest_train_snapshot(args.model_path)
+            if snap:
+                done, spath = snap
+                tstate = ckpt.load_train_state(spath, tstate)
+                print(f"resumed TrainState (opt moments + step) at "
+                      f"iteration {done} from {spath}", flush=True)
         while done < args.iterations:
             n = min(args.save_interval, args.test_interval,
                     args.iterations - done)
@@ -210,6 +221,7 @@ def main() -> None:
             if done % args.save_interval == 0 or done == args.iterations:
                 path = os.path.join(ply_dir, f"point_cloud_{done}.ply")
                 npts = ckpt.save_ply(path, tstate.gaussians)
+                ckpt.save_train_snapshot(args.model_path, done, tstate)
                 print(f"saved {npts} splats -> {path}", flush=True)
         final_state = tstate.gaussians
         sh_deg_final = T.active_sh_degree(args.iterations, tcfg)
@@ -229,6 +241,13 @@ def main() -> None:
             state0 = compose.finetune_visibility(state0, iterations=1000)
         tstate, txs = TN.init_pbr_train_state(state0, optim_cfg)
         done = 0
+        if args.resume:
+            snap = ckpt.latest_train_snapshot(args.model_path)
+            if snap:
+                done, spath = snap
+                tstate = ckpt.load_train_state(spath, tstate)
+                print(f"resumed PBR TrainState at iteration {done} from "
+                      f"{spath}", flush=True)
         while done < args.iterations:
             n = min(args.save_interval, args.iterations - done)
             tstate = TN.train_pbr(
@@ -242,6 +261,7 @@ def main() -> None:
             done += n
             path = os.path.join(ply_dir, f"point_cloud_{done}.ply")
             npts = ckpt.save_ply(path, tstate.gaussians)
+            ckpt.save_train_snapshot(args.model_path, done, tstate)
             print(f"saved {npts} splats -> {path}", flush=True)
         final_state = tstate.gaussians
         env, gamma = tstate.env, tstate.gamma
