@@ -60,7 +60,8 @@ def main() -> None:
     # the sort with P*M, so tight budgets are pure win at identical
     # output.
     cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=20,
-                          max_per_tile=288, chunk=96)
+                          max_per_tile=288, chunk=96,
+                          track_contrib=False)
 
     c = np.array([0.0, 0.0, 2.8])
     fwd_v = -c / np.linalg.norm(c)

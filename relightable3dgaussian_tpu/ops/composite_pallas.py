@@ -101,17 +101,20 @@ def _chunk_quantities(data_ref, tb, k0, C, F, count, pixx, pixy):
 
 def _forward_kernel(counts_ref, tids_ref, data_ref, img_ref, t_ref,
                     last_ref, ckpt_t_ref, ckpt_s_ref,
-                    *, C: int, F: int, K: int, gx: int):
+                    *, C: int, F: int, K: int, gx: int,
+                    track: bool = True):
     nchunks = K // C
     for tb in range(TB):
         _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
                           last_ref, ckpt_t_ref, ckpt_s_ref,
-                          tb, C=C, F=F, nchunks=nchunks, gx=gx)
+                          tb, C=C, F=F, nchunks=nchunks, gx=gx,
+                          track=track)
 
 
 def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
                       last_ref, ckpt_t_ref, ckpt_s_ref, tb,
-                      *, C: int, F: int, nchunks: int, gx: int):
+                      *, C: int, F: int, nchunks: int, gx: int,
+                      track: bool = True):
     row = pl.program_id(0) * TB + tb
     pixx, pixy = _pixel_coords(gx, tids_ref[row])
     count = counts_ref[row]
@@ -155,9 +158,11 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
 
         log_t = log_t + jnp.sum(la, axis=0)[None, :]
         stopped = stopped | jnp.any(trigger & ~stopped_before, axis=0)
-        k_idx = c * C + jax.lax.broadcasted_iota(jnp.int32, (C, P2), 0)
-        contrib = jnp.max(jnp.where(applied, k_idx + 1, 0), axis=0)
-        last = jnp.maximum(last, contrib[None, :])
+        if track:  # n_contrib: 1-based index of the last applied splat
+            k_idx = c * C + jax.lax.broadcasted_iota(
+                jnp.int32, (C, P2), 0)
+            contrib = jnp.max(jnp.where(applied, k_idx + 1, 0), axis=0)
+            last = jnp.maximum(last, contrib[None, :])
         return c + 1, log_t, stopped.astype(jnp.float32), accum, last
 
     def cond(carry):
@@ -477,13 +482,14 @@ def _gather_rows_bwd(P, res, g):
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _composite_core(data, counts, tile_ids, grid, chunk, F):
-    return _core_fwd_impl(data, counts, tile_ids, grid, chunk, F)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _composite_core(data, counts, tile_ids, grid, chunk, F, track=True):
+    return _core_fwd_impl(data, counts, tile_ids, grid, chunk, F,
+                          track=track)
 
 
 def _core_fwd_impl(data, counts, tile_ids, grid, chunk, F, *,
-                   want_ckpt=False):
+                   want_ckpt=False, track=True):
     gx, gy = grid
     T0, K, D = data.shape
     padT = (-T0) % TB
@@ -493,7 +499,8 @@ def _core_fwd_impl(data, counts, tile_ids, grid, chunk, F, *,
         tile_ids = jnp.pad(tile_ids, (0, padT))
     T = T0 + padT
     nchunks = K // chunk
-    kern = functools.partial(_forward_kernel, C=chunk, F=F, K=K, gx=gx)
+    kern = functools.partial(_forward_kernel, C=chunk, F=F, K=K, gx=gx,
+                             track=track)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T // TB,),
@@ -532,9 +539,10 @@ def _core_fwd_impl(data, counts, tile_ids, grid, chunk, F, *,
     return out
 
 
-def _core_fwd(data, counts, tile_ids, grid, chunk, F):
+def _core_fwd(data, counts, tile_ids, grid, chunk, F, track=True):
     out, (final_t, ckpt_t, ckpt_s) = _core_fwd_impl(
-        data, counts, tile_ids, grid, chunk, F, want_ckpt=True)
+        data, counts, tile_ids, grid, chunk, F, want_ckpt=True,
+        track=track)
     return out, (data, counts, tile_ids, final_t, ckpt_t, ckpt_s)
 
 
@@ -587,7 +595,7 @@ def _run_backward_kernel(data, counts, tile_ids, g_img, g_t, final_t,
     return g_data[:T0]
 
 
-def _core_bwd(grid, chunk, F, res, cotangents):
+def _core_bwd(grid, chunk, F, track, res, cotangents):
     data, counts, tile_ids, final_t, ckpt_t, ckpt_s = res
     g_img, g_t, _ = cotangents
     g_data = _run_backward_kernel(
@@ -680,13 +688,15 @@ def _stream_windows(starts_ref, rows_ref, scratch, sems):
 def _forward_stream_kernel(counts_ref, tids_ref, starts_ref, rows_ref,
                            img_ref, t_ref, last_ref, ckpt_t_ref,
                            ckpt_s_ref, scratch, sems,
-                           *, C: int, F: int, K: int, gx: int):
+                           *, C: int, F: int, K: int, gx: int,
+                           track: bool = True):
     nchunks = K // C
     cur = _stream_windows(starts_ref, rows_ref, scratch, sems)
     for tb in range(TB):
         _forward_one_tile(counts_ref, tids_ref, scratch.at[cur], img_ref,
                           t_ref, last_ref, ckpt_t_ref, ckpt_s_ref,
-                          tb, C=C, F=F, nchunks=nchunks, gx=gx)
+                          tb, C=C, F=F, nchunks=nchunks, gx=gx,
+                          track=track)
 
 
 def _backward_stream_kernel(counts_ref, tids_ref, starts_ref, rows_ref,
@@ -743,7 +753,7 @@ def _pad_tb(T0, *arrays):
 
 
 def _stream_fwd_impl(packed128, stream_ids, starts, counts, tile_ids,
-                     grid, chunk, F, K, *, want_ckpt=False):
+                     grid, chunk, F, K, track=True, *, want_ckpt=False):
     gx, gy = grid
     T0 = counts.shape[0]
     # pad the (small) id array, not the [*, 128] rows: window overshoot
@@ -753,7 +763,7 @@ def _stream_fwd_impl(packed128, stream_ids, starts, counts, tile_ids,
     T, (counts, tile_ids, starts) = _pad_tb(T0, counts, tile_ids, starts)
     nchunks = K // chunk
     kern = functools.partial(_forward_stream_kernel, C=chunk, F=F, K=K,
-                             gx=gx)
+                             gx=gx, track=track)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T // TB,),
@@ -793,23 +803,23 @@ def _stream_fwd_impl(packed128, stream_ids, starts, counts, tile_ids,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _composite_stream(packed128, stream_ids, starts, counts, tile_ids,
-                      grid, chunk, F, K):
+                      grid, chunk, F, K, track=True):
     return _stream_fwd_impl(packed128, stream_ids, starts, counts,
-                            tile_ids, grid, chunk, F, K)
+                            tile_ids, grid, chunk, F, K, track)
 
 
 def _stream_fwd(packed128, stream_ids, starts, counts, tile_ids,
-                grid, chunk, F, K):
+                grid, chunk, F, K, track=True):
     out, (rows, final_t, ckpt_t, ckpt_s) = _stream_fwd_impl(
         packed128, stream_ids, starts, counts, tile_ids, grid, chunk, F,
-        K, want_ckpt=True)
+        K, track, want_ckpt=True)
     return out, (rows, stream_ids, starts, counts, tile_ids, final_t,
                  ckpt_t, ckpt_s, packed128.shape[0])
 
 
-def _stream_bwd(grid, chunk, F, K, res, cotangents):
+def _stream_bwd(grid, chunk, F, K, track, res, cotangents):
     (rows, stream_ids, starts, counts, tile_ids, final_t, ckpt_t,
      ckpt_s, P) = res
     g_img, g_t, _ = cotangents
@@ -919,6 +929,7 @@ def composite_pallas(
     tile_axis: str | None = None,
     tile_shards: int = 1,
     max_per_tile: int | None = None,
+    track_contrib: bool = True,
 ) -> CompositeOutput:
     """Pallas-accelerated `composite` (same signature and semantics).
 
@@ -946,7 +957,8 @@ def composite_pallas(
             ((0, 0), (0, 122 - F)))
         img, final_t, last = _composite_stream(
             packed128, bins.stream_ids, bins.stream_starts, bins.counts,
-            jnp.arange(T, dtype=jnp.int32), grid, chunk, F, K)
+            jnp.arange(T, dtype=jnp.int32), grid, chunk, F, K,
+            track_contrib)
         return CompositeOutput(
             image=untile_rows(img, grid),
             final_t=untile_rows(final_t, grid),
@@ -985,7 +997,7 @@ def composite_pallas(
         data = gather_rows(packed, idx, mask, gsg, gsp,
                            packed.shape[0])                # [Tl, K, D]
         img, final_t, last = _composite_core(
-            data, counts, tile_ids, grid, chunk, F)
+            data, counts, tile_ids, grid, chunk, F, track_contrib)
 
     if tile_axis is not None:
         gather = functools.partial(

@@ -43,6 +43,10 @@ class RasterizeConfig:
     # it lose their parameter gradients — watch stats["dropped_grad"]).
     # None keeps the dense scatter transpose (always exact).
     max_grad_instances: int | None = None
+    # n_contrib (1-based index of each pixel's last contributing splat)
+    # costs ~4 VPU ops per kernel chunk; training never reads it, so
+    # trainers/bench set False (the output is then zeros).
+    track_contrib: bool = True
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -74,7 +78,8 @@ def composite_dispatch(cfg: RasterizeConfig, bins, xy, conic, opacity,
         return cpal.composite_pallas(
             bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk,
             tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards,
-            max_per_tile=cfg.max_per_tile)
+            max_per_tile=cfg.max_per_tile,
+            track_contrib=cfg.track_contrib)
     return comp.composite(
         bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk,
         tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)

@@ -184,7 +184,8 @@ def read_colmap_scene(path: str, images_dir: str = "images",
     """COLMAP loader (`readColmapSceneInfo`, `dataset_readers.py:252-302`).
 
     Reads sparse/0 binary (or text) model; eval split = every llffhold-th
-    camera (the reference's DTU-specific id split is not replicated).
+    camera, or the DTU benchmark's fixed held-out view ids when the
+    scene path contains "DTU" (reference `dataset_readers.py:271-273`).
     """
     sparse = os.path.join(path, "sparse", "0")
     if not os.path.isdir(sparse):
@@ -229,7 +230,13 @@ def read_colmap_scene(path: str, images_dir: str = "images",
             gt_alpha_mask=mask,
             image_name=os.path.splitext(os.path.basename(extr.name))[0]))
 
-    if eval_split:
+    if "DTU" in path:
+        # DTU benchmark convention: fixed held-out view ids
+        # (reference `dataset_readers.py:271-273`)
+        test_ids = {2, 12, 17, 30, 34}
+        train = [c for i, c in enumerate(cams) if i not in test_ids]
+        test = [c for i, c in enumerate(cams) if i in test_ids]
+    elif eval_split:
         train = [c for i, c in enumerate(cams) if i % llffhold != 0]
         test = [c for i, c in enumerate(cams) if i % llffhold == 0]
     else:

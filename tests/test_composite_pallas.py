@@ -305,3 +305,22 @@ def test_stream_gradients_with_tile_overflow():
     for a, b, name in zip(g_s, g_d, ["xy", "conic", "op", "feats"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_track_contrib_off_same_image():
+    """track_contrib=False skips the per-chunk last-splat bookkeeping;
+    image/final_t identical, n_contrib zeros."""
+    proj, _, grid, feats = make_proj(P=60, seed=5)
+    sbins = binning.bin_splats(proj, grid, 32, 64, stream=True)
+    with pltpu.force_tpu_interpret_mode():
+        on = cpal.composite_pallas(sbins, proj.xy, proj.conic,
+                                   proj.opacity, feats, grid, chunk=16)
+        off = cpal.composite_pallas(sbins, proj.xy, proj.conic,
+                                    proj.opacity, feats, grid, chunk=16,
+                                    track_contrib=False)
+    np.testing.assert_array_equal(np.asarray(off.image),
+                                  np.asarray(on.image))
+    np.testing.assert_array_equal(np.asarray(off.final_t),
+                                  np.asarray(on.final_t))
+    assert np.asarray(off.n_contrib).max() == 0
+    assert np.asarray(on.n_contrib).max() > 0

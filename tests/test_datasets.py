@@ -159,3 +159,41 @@ def test_colmap_text_fallback(tmp_path):
     info = dr.load_scene(str(root))
     assert len(info.train_cameras) == 1
     assert info.points.shape == (1, 3)
+
+
+def test_colmap_dtu_split(tmp_path):
+    """A path containing 'DTU' uses the benchmark's fixed held-out view
+    ids (reference dataset_readers.py:271-273) instead of llffhold."""
+    import shutil
+    import struct
+
+    root = tmp_path / "DTU_scan63"
+    sparse = root / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    (root / "images").mkdir()
+    with open(sparse / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 40, 32))
+        f.write(struct.pack("<4d", 35.0, 36.0, 20.0, 16.0))
+    with open(sparse / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 6))
+        for i in range(6):
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<4d", 1.0, 0, 0, 0))
+            f.write(struct.pack("<3d", 0.1 * i, 0, 2.0))
+            f.write(struct.pack("<i", 1))
+            f.write(f"img_{i}.png".encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))
+    with open(sparse / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<Q", 0))
+        f.write(struct.pack("<3d", 0.0, 0.2, 1.0))
+        f.write(struct.pack("<3B", 100, 150, 200))
+        f.write(struct.pack("<d", 0.5))
+        f.write(struct.pack("<Q", 0))
+
+    info = dr.load_scene(str(root))
+    # of the fixed ids {2,12,17,30,34} only 2 exists among 6 views
+    assert len(info.test_cameras) == 1
+    assert info.test_cameras[0].image_name == "img_2"
+    assert len(info.train_cameras) == 5

@@ -119,7 +119,8 @@ def main() -> None:
     raster_cfg = RasterizeConfig(
         width=W, height=H,
         max_tiles_per_gaussian=args.max_tiles_per_gaussian,
-        max_per_tile=args.max_per_tile)
+        max_per_tile=args.max_per_tile,
+        track_contrib=False)  # training never reads n_contrib
     loss_cfg = R.LossConfig(
         lambda_mask_entropy=args.lambda_mask_entropy,
         lambda_normal_render_depth=args.lambda_normal_render_depth,
