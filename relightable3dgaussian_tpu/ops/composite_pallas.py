@@ -148,8 +148,9 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
         # Valid-based t_before equals applied-based t_before for every
         # applied splat (before the first trigger, valid ⟺ applied; after
         # it nothing is applied) — one prefix product suffices, matching
-        # the jnp twin.
-        la = jnp.log1p(-jnp.where(applied, alpha, 0.0))
+        # the jnp twin.  applied ⊆ valid, so the applied log-terms are a
+        # masked subset of la_all — no second log1p evaluation.
+        la = jnp.where(applied, la_all, 0.0)
         w = jnp.where(applied, alpha * t_before, 0.0)      # [C, P2]
 
         accum = accum + jax.lax.dot_general(

@@ -324,3 +324,39 @@ def test_track_contrib_off_same_image():
                                   np.asarray(on.final_t))
     assert np.asarray(off.n_contrib).max() == 0
     assert np.asarray(on.n_contrib).max() > 0
+
+
+@pytest.mark.parametrize("F,K,chunk", [(5, 32, 8), (26, 64, 32)])
+def test_stream_shape_fuzz(F, K, chunk):
+    """Stream-path parity across feature widths and K/chunk combos."""
+    proj, _, grid, _ = make_proj(P=30, seed=F + K)
+    rng = np.random.default_rng(F)
+    P = proj.valid.shape[0]
+    feats = jnp.asarray(rng.uniform(0, 1, (P, F)).astype(np.float32))
+    dbins = binning.bin_splats(proj, grid, 16, K)
+    sbins = binning.bin_splats(proj, grid, 16, K, stream=True)
+
+    ref = comp.composite(dbins, proj.xy, proj.conic, proj.opacity, feats,
+                         grid, chunk=chunk)
+    with pltpu.force_tpu_interpret_mode():
+        got = cpal.composite_pallas(sbins, proj.xy, proj.conic,
+                                    proj.opacity, feats, grid,
+                                    chunk=chunk, max_per_tile=K)
+    np.testing.assert_allclose(np.asarray(got.image),
+                               np.asarray(ref.image), atol=3e-5,
+                               rtol=1e-4)
+
+    def loss(mod, bins_):
+        def fn(op):
+            out = mod(bins_, proj.xy, proj.conic, op, feats, grid,
+                      chunk=chunk, **({"max_per_tile": K}
+                                      if mod is cpal.composite_pallas
+                                      else {}))
+            return jnp.sum(out.image ** 2)
+        return fn
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss(cpal.composite_pallas, sbins))(proj.opacity)
+    gr = jax.grad(loss(comp.composite, dbins))(proj.opacity)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=5e-4, atol=1e-6)
