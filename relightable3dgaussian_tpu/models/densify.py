@@ -34,8 +34,8 @@ from . import gaussians as G
 class DensifyConfig:
     """Thresholds (reference `arguments/__init__.py:96-108`, `train.py:172-185`)."""
     grad_threshold: float = 0.0002        # densify_grad_threshold
-    grad_normal_threshold: float = 0.0002  # densify_grad_normal_threshold
-    percent_dense: float = 0.01
+    grad_normal_threshold: float = 4e-6   # densify_grad_normal_threshold
+    percent_dense: float = 0.001
     min_opacity: float = 0.005
     split_n: int = 2
     split_scale_div: float = 1.6          # 0.8 * N
