@@ -211,8 +211,9 @@ def precompute_visibility(
         return out["visibility"], out.get("dropped_rays", 0)
 
     if use_cells:
-        # bound the [rays, C] hit matrix, not the splat count
-        chunk = max(1, min(chunk, 16_384 // sample_num))
+        # bound the [rays, C] hit matrix, not the splat count; bigger
+        # ray chunks shrink the per-cell load skew (and the Rb slack)
+        chunk = max(1, min(chunk, 32_768 // sample_num))
     out, drops = [], []
     for off in range(0, N, chunk):
         n = min(chunk, N - off)

@@ -51,6 +51,16 @@ P2 = TILE * TILE  # 256 pixels per tile
 FUSED_REDUCE = False
 LOG_T_STOP = -9.210340371976184  # log(1e-4)
 
+# Backward gradient reductions as one stacked moment matmul (see
+# `_local_basis`) vs six per-element product + cross-lane-reduce chains.
+# Measured LOSER on v5e (41.3 vs 38.9 ms/step, in-process A/B): the f32
+# [2C,P2]x[P2,6] matmul lane-pads its output 6->128 and costs more MXU
+# time than the VPU's six strided lane reductions.  Kept (tested) as the
+# A/B harness: `tools/bench_probe.py --absweep MOMENT_BWD=1,0`.
+MOMENT_BWD = False
+# Forward Σ_k la as a [1,C]x[C,P2] MXU matmul vs a VPU sublane reduce.
+MXU_SUMLA = True
+
 
 
 def _cumsum0(x):
@@ -75,6 +85,26 @@ def _pixel_coords(gx: int, tile_id):
     pixx = (tile_id % gx) * TILE + (p % TILE)
     pixy = (tile_id // gx) * TILE + p // TILE
     return pixx.astype(jnp.float32), pixy.astype(jnp.float32)
+
+
+def _local_basis():
+    """Tile-LOCAL pixel coords and the moment basis V = [px², px, 1,
+    py, py², px·py] as a [6, P2] matrix.
+
+    The backward reduces all six per-splat gradient sums (conic, mean,
+    opacity) with ONE [2C, P2] x [P2, 6] MXU matmul against V instead of
+    six per-element product + cross-lane-reduction chains: for fixed
+    splat k, ∂power/∂θ is quadratic in pixel coords, so Σ_p g·∂power/∂θ
+    is a linear combination of the moments Σ_p g·{1, px, py, px², py²,
+    px·py}.  Tile-local coordinates keep the moment magnitudes ≤ (16+r)²
+    so the expansion loses no f32 precision to the global pixel offset."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, P2), 1)
+    plx = (p % TILE).astype(jnp.float32)
+    ply = (p // TILE).astype(jnp.float32)
+    one = jnp.ones((1, P2), jnp.float32)
+    V = jnp.concatenate([plx * plx, plx, one, ply, ply * ply, plx * ply],
+                        axis=0)                          # [6, P2]
+    return plx, ply, V
 
 
 def _chunk_quantities(data_ref, tb, k0, C, F, count, pixx, pixy):
@@ -157,8 +187,18 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
             w, feat, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [P2, F]
 
-        log_t = log_t + jnp.sum(la, axis=0)[None, :]
-        stopped = stopped | jnp.any(trigger & ~stopped_before, axis=0)
+        if MXU_SUMLA:
+            # Σ_k la on the MXU instead of the VPU sublane reduce
+            log_t = log_t + jax.lax.dot_general(
+                jnp.ones((1, C), jnp.float32), la,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            log_t = log_t + jnp.sum(la, axis=0)[None, :]
+        # any(trigger & ~stopped_before) ⟺ any trigger at all: if the
+        # carry was already stopped nothing is applied either way, and
+        # trig_cum's last row already counts the triggers — free.
+        stopped = stopped | (trig_cum[C - 1:C, :] > 0.5)[0]
         if track:  # n_contrib: 1-based index of the last applied splat
             k_idx = c * C + jax.lax.broadcasted_iota(
                 jnp.int32, (C, P2), 0)
@@ -201,7 +241,12 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
                        tiled: bool = False, gtb: int | None = None):
     gtb = tb if gtb is None else gtb
     row = pl.program_id(0) * TB + tb
-    pixx, pixy = _pixel_coords(gx, tids_ref[row])
+    tile_id = tids_ref[row]
+    # tile-local frame: splat coords shift by the tile origin (scalar,
+    # exact); pixel coords and the moment basis V are tile-independent
+    ox = ((tile_id % gx) * TILE).astype(jnp.float32)
+    oy = ((tile_id // gx) * TILE).astype(jnp.float32)
+    plx, ply, V = _local_basis()
     count = counts_ref[row]
     g_accum = gimg_ref[tb]                              # [P2, F]
 
@@ -228,16 +273,16 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
         stopped = ckpt_s_ref[tb, pl.ds(c, 1), :].reshape(1, P2) > 0.5
 
         chunk_d = data_ref[tb, pl.ds(c * C, C), :]
-        xs = chunk_d[:, 0:1]
-        ys = chunk_d[:, 1:2]
+        xs = chunk_d[:, 0:1] - ox                        # tile-local
+        ys = chunk_d[:, 1:2] - oy
         ca = chunk_d[:, 2:3]
         cb = chunk_d[:, 3:4]
         cc = chunk_d[:, 4:5]
         op = chunk_d[:, 5:6]
         feat = chunk_d[:, 6:6 + F]
 
-        dx = xs - pixx
-        dy = ys - pixy
+        dx = xs - plx
+        dy = ys - ply
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         raw_alpha = op * jnp.exp(power)
         alpha = jnp.minimum(ALPHA_MAX, raw_alpha)
@@ -266,10 +311,12 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
             w, g_accum, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [C, F]
 
-        # suffix sums: G_k = sum_{m>k} g_w_m w_m + g_log_t (carry)
+        # suffix sums: G_k = sum_{m>k} g_w_m w_m + g_log_t (carry);
+        # the total rides the cumsum's last row (no separate reduction)
         gww = g_w * w
-        total = jnp.sum(gww, axis=0, keepdims=True)
-        suffix = total - _cumsum0(gww)                      # strictly m>k
+        cum_gww = _cumsum0(gww)
+        total = cum_gww[C - 1:C, :]
+        suffix = total - cum_gww                            # strictly m>k
         G = suffix + g_log_t                                # [C, P2]
 
         g_alpha = jnp.where(applied,
@@ -279,14 +326,40 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
         g_raw = jnp.where(open_gate, g_alpha, 0.0)
         g_op_pix = g_raw * jnp.exp(power)                   # [C, P2]
         g_power = g_raw * raw_alpha
-        g_ca = jnp.sum(g_power * (-0.5 * dx * dx), axis=1, keepdims=True)
-        g_cc = jnp.sum(g_power * (-0.5 * dy * dy), axis=1, keepdims=True)
-        g_cb = jnp.sum(g_power * (-dx * dy), axis=1, keepdims=True)
-        g_dx = g_power * (-(ca * dx + cb * dy))
-        g_dy = g_power * (-(cc * dy + cb * dx))
-        g_xs = jnp.sum(g_dx, axis=1, keepdims=True)
-        g_ys = jnp.sum(g_dy, axis=1, keepdims=True)
-        g_op = jnp.sum(g_op_pix, axis=1, keepdims=True)
+
+        if MOMENT_BWD:
+            # All six pixel reductions via one stacked moment matmul
+            # (see `_local_basis`): S[k] = Σ_p g·{px²,px,1,py,py²,px·py};
+            # the opacity row reduction rides V's ones column.
+            S = jax.lax.dot_general(
+                jnp.concatenate([g_power, g_op_pix], axis=0), V,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [2C, 6]
+            s_xx = S[:C, 0:1]   # Σ g·px²
+            s_x = S[:C, 1:2]    # Σ g·px
+            s_1 = S[:C, 2:3]    # Σ g
+            s_y = S[:C, 3:4]    # Σ g·py
+            s_yy = S[:C, 4:5]   # Σ g·py²
+            s_xy = S[:C, 5:6]   # Σ g·px·py
+            g_op = S[C:, 2:3]   # Σ g_op_pix
+
+            # ∂power/∂θ expanded in pixel moments (dx = xs - px, local):
+            g_ca = -0.5 * (s_xx - 2.0 * xs * s_x + xs * xs * s_1)
+            g_cc = -0.5 * (s_yy - 2.0 * ys * s_y + ys * ys * s_1)
+            g_cb = -(s_xy - xs * s_y - ys * s_x + xs * ys * s_1)
+            g_xs = -(ca * xs + cb * ys) * s_1 + ca * s_x + cb * s_y
+            g_ys = -(cc * ys + cb * xs) * s_1 + cc * s_y + cb * s_x
+        else:
+            g_ca = jnp.sum(g_power * (-0.5 * dx * dx), axis=1,
+                           keepdims=True)
+            g_cc = jnp.sum(g_power * (-0.5 * dy * dy), axis=1,
+                           keepdims=True)
+            g_cb = jnp.sum(g_power * (-dx * dy), axis=1, keepdims=True)
+            g_dx = g_power * (-(ca * dx + cb * dy))
+            g_dy = g_power * (-(cc * dy + cb * dx))
+            g_xs = jnp.sum(g_dx, axis=1, keepdims=True)
+            g_ys = jnp.sum(g_dy, axis=1, keepdims=True)
+            g_op = jnp.sum(g_op_pix, axis=1, keepdims=True)
 
         parts = [g_xs, g_ys, g_ca, g_cb, g_cc, g_op, g_feat]
         if tiled == "pad128":
@@ -307,7 +380,8 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
         gdata_ref[gtb, pl.ds(c * C, C), :] = g_chunk
 
         # propagate to earlier chunks: d logT_in touches every term
-        g_log_t_new = jnp.sum(gww, axis=0)[None, :] + g_log_t
+        # (`total` is already Σ_k gww — reuse, no second reduction)
+        g_log_t_new = total + g_log_t
         return g_log_t_new
 
     jax.lax.fori_loop(0, n_done, bbody, g_log_t0)

@@ -29,6 +29,40 @@ def _gaussian_window(size: int, sigma: float):
     return g / np.sum(g)
 
 
+# Separable blur as two banded-Toeplitz matmuls (MXU) instead of 2x11
+# shifted adds (VPU/HBM): at 800²x15 the [800,800] band matrices cost
+# ~0.3 ms each direction on the MXU and autodiff's transpose is again a
+# matmul — measured faster than the shifted-add lowering on v5e.
+# Module-level so tools/bench_probe.py can A/B (--set losses.SSIM_MATMUL=0).
+SSIM_MATMUL = True
+
+
+def _band_matrix(n: int, k) -> jnp.ndarray:
+    """[n, n] Toeplitz band B with B[i, j] = k[j - i + r] (zero 'same'
+    padding truncates the band at the borders)."""
+    import numpy as np
+    r = len(k) // 2
+    B = np.zeros((n, n), np.float32)
+    for d in range(-r, r + 1):
+        idx = np.arange(max(0, -d), min(n, n - d))
+        B[idx, idx + d] = float(k[d + r])
+    return jnp.asarray(B)
+
+
+def _sep_filter2d_matmul(img: jnp.ndarray, k) -> jnp.ndarray:
+    """`_sep_filter2d` twin on the MXU: rows then columns via band
+    matmuls.  Same zero 'same'-padding semantics."""
+    H, W, C = img.shape
+    Bh = _band_matrix(H, k)
+    Bw = _band_matrix(W, k)
+    x = jnp.dot(Bh, img.reshape(H, W * C),
+                preferred_element_type=jnp.float32).reshape(H, W, C)
+    # column blur: contract W against the band (einsum keeps XLA free to
+    # pick the layout; out[h,v,c] = Σ_w B[v,w]·x[h,w,c])
+    return jnp.einsum("vw,hwc->hvc", Bw, x,
+                      preferred_element_type=jnp.float32)
+
+
 def _sep_filter2d(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """Depthwise separable 2D filter on [H, W, C] with same (zero) padding.
 
@@ -62,7 +96,8 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     k = _gaussian_window(window_size, sigma)
     stack = jnp.concatenate(
         [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1)
-    blurred = _sep_filter2d(stack, k)
+    filt = _sep_filter2d_matmul if SSIM_MATMUL else _sep_filter2d
+    blurred = filt(stack, k)
     C = img1.shape[-1]
     mu1 = blurred[..., 0:C]
     mu2 = blurred[..., C:2 * C]

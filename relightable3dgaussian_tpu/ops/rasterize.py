@@ -47,6 +47,12 @@ class RasterizeConfig:
     # costs ~4 VPU ops per kernel chunk; training never reads it, so
     # trainers/bench set False (the output is then zeros).
     track_contrib: bool = True
+    # Stream-prefix capacity (stream mode only; default T*K).  Every
+    # routed byte — the row gather, the kernel window DMAs, and the
+    # backward's row-serial gradient scatter (~13 ns/row on v5e) —
+    # scales with this, so a cap near the real instance count is a pure
+    # win; overflow is counted in stats["dropped_stream"], assert 0.
+    stream_cap: int | None = None
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -147,7 +153,8 @@ def rasterize(
               and cfg.max_grad_instances is None)
     bins = binning.bin_splats(
         proj, cfg.grid, cfg.max_tiles_per_gaussian, cfg.max_per_tile,
-        grad_cap=cfg.max_grad_instances, stream=stream)
+        grad_cap=cfg.max_grad_instances, stream=stream,
+        stream_cap=cfg.stream_cap if stream else None)
     # Indices are integer routing decisions, never differentiated.
     bins = jax.tree.map(jax.lax.stop_gradient, bins)
 

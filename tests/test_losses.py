@@ -116,3 +116,22 @@ def test_lpips_missing_weights_clear_error(tmp_path):
     import pytest
     with pytest.raises(Exception):
         lpips_jax.load_torch_weights(str(tmp_path / "nope.pth"))
+
+
+def test_ssim_matmul_variant_matches_shifted(imgs):
+    """The banded-matmul blur (MXU path) == the shifted-add blur,
+    values and gradients, on a non-square image."""
+    import jax
+    a, b = imgs
+    a_j, b_j = jnp.asarray(a), jnp.asarray(b)
+    old = losses.SSIM_MATMUL
+    try:
+        losses.SSIM_MATMUL = True
+        v1, g1 = jax.value_and_grad(lambda x: losses.ssim(x, b_j))(a_j)
+        losses.SSIM_MATMUL = False
+        v0, g0 = jax.value_and_grad(lambda x: losses.ssim(x, b_j))(a_j)
+    finally:
+        losses.SSIM_MATMUL = old
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-7)

@@ -30,10 +30,16 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=96)
     ap.add_argument("--no-track", action="store_true",
                     help="track_contrib=False")
+    ap.add_argument("--stream-cap", type=int, default=None,
+                    help="stream-prefix row budget (default T*K)")
     ap.add_argument("--tb", type=int, default=None,
                     help="override composite_pallas.TB")
     ap.add_argument("--sweep", default=None,
                     help="name=v1,v2,... sweeps one of m/k/chunk/tb")
+    ap.add_argument("--set", action="append", default=[],
+                    help="composite_pallas flag NAME=int (repeatable)")
+    ap.add_argument("--absweep", default=None,
+                    help="A/B a composite_pallas flag: NAME=v1,v2,...")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--trace", default=None,
@@ -80,12 +86,13 @@ def main() -> None:
     target = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
     loss_cfg = R.LossConfig(lambda_dssim=0.2)
 
-    def run(m, k, chunk, tb, track):
+    def run(m, k, chunk, tb, track, label=""):
         if tb is not None:
             cpal.TB = tb
         cfg = RasterizeConfig(
             width=W, height=H, max_tiles_per_gaussian=m, max_per_tile=k,
-            chunk=chunk, track_contrib=track)
+            chunk=chunk, track_contrib=track,
+            stream_cap=args.stream_cap)
 
         @jax.jit
         def fwd_bwd(params):
@@ -115,7 +122,7 @@ def main() -> None:
         dt = float(np.median(meds))
         drops = {kk: v for kk, v in stats.items()
                  if kk.startswith("dropped") and v}
-        print(f"m={m} k={k} chunk={chunk} tb={tb or cpal.TB} "
+        print(f"{label}m={m} k={k} chunk={chunk} tb={tb or cpal.TB} "
               f"track={track}: {dt * 1000:.1f} ms  "
               f"{W * H / dt / 1e6:.2f} Mpix/s"
               + (f"  DROPS {drops}" if drops else ""), flush=True)
@@ -127,6 +134,20 @@ def main() -> None:
             print(f"trace -> {args.trace} (summarize with "
                   "tools/xplane_summary.py)", flush=True)
 
+    def _flag_target(name):
+        """FLAG → composite_pallas; 'losses.FLAG' → that ops module."""
+        if "." in name:
+            import importlib
+            mod, _, attr = name.rpartition(".")
+            return importlib.import_module(
+                f"relightable3dgaussian_tpu.ops.{mod}"), attr
+        return cpal, name
+
+    for s in args.set:
+        name, _, v = s.partition("=")
+        m, attr = _flag_target(name)
+        setattr(m, attr, bool(int(v)))
+
     base = dict(m=args.m, k=args.k, chunk=args.chunk, tb=args.tb,
                 track=not args.no_track)
     if args.sweep:
@@ -135,6 +156,12 @@ def main() -> None:
             cfgd = dict(base)
             cfgd[name] = int(v)
             run(**cfgd)
+    elif args.absweep:
+        name, _, vals = args.absweep.partition("=")
+        m, attr = _flag_target(name)
+        for v in vals.split(","):
+            setattr(m, attr, bool(int(v)))
+            run(**base, label=f"{name}={v} ")
     else:
         run(**base)
 
