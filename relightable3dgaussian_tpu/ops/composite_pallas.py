@@ -273,6 +273,12 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
         stopped = ckpt_s_ref[tb, pl.ds(c, 1), :].reshape(1, P2) > 0.5
 
         chunk_d = data_ref[tb, pl.ds(c * C, C), :]
+        # Tile-local frame while the forward uses global pixel coords:
+        # the recomputed power/alpha can differ from the forward's by a
+        # few ulp, which may flip valid/trigger classification exactly at
+        # the ALPHA_MIN / T_STOP thresholds. Accepted: the affected
+        # splats contribute at the threshold of visibility and the
+        # grad-parity tests bound the effect below their tolerances.
         xs = chunk_d[:, 0:1] - ox                        # tile-local
         ys = chunk_d[:, 1:2] - oy
         ca = chunk_d[:, 2:3]

@@ -367,7 +367,7 @@ def trace_visibility_cells(
 ) -> dict[str, jnp.ndarray]:
     """`trace_visibility` through a `CellIndex` — identical output
     (dense-path oracle-tested) at ~C/cells-hit the pair count.
-    `max_rays_per_cell` defaults to R // 4 (the two-tier heavy pass
+    `max_rays_per_cell` defaults to R // 10 (the two-tier heavy pass
     absorbs skewed cells).
 
     Returns {"visibility": [R], "contribute": [R] int32,

@@ -62,7 +62,9 @@ def test_forward_matches_jnp(opaque):
                                   np.asarray(ref.n_contrib))
 
 
-def test_gradients_match_jnp():
+@pytest.mark.parametrize("moment_bwd", [False, True])
+def test_gradients_match_jnp(moment_bwd, monkeypatch):
+    monkeypatch.setattr(cpal, "MOMENT_BWD", moment_bwd)
     proj, bins, grid, feats = make_proj(P=40, seed=7)
     tgt = jnp.asarray(np.random.default_rng(0).uniform(
         0, 1, (grid[1] * 16, grid[0] * 16, 6)).astype(np.float32))
