@@ -54,18 +54,6 @@ def main() -> None:
     state = G.create_from_points(pts, cols, capacity=capacity,
                                  init_scale=np.full(P, 0.012, np.float32))
 
-    # K=288/chunk=96, M=20: exact on this scene (max per-tile count 281,
-    # max tiles/splat < 20, zero dropped_* — asserted below); every
-    # routed byte (gather, kernel DMA, grad scatter) scales with T*K and
-    # the sort with P*M, so tight budgets are pure win at identical
-    # output.
-    # stream_cap 560k: real instance count is 552k on this scene
-    # (dropped_stream == 0 asserted below); the default T*K prefix would
-    # route 720k rows through the gather/kernel-DMA/grad-scatter chain.
-    cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=20,
-                          max_per_tile=288, chunk=96,
-                          track_contrib=False, stream_cap=560_000)
-
     c = np.array([0.0, 0.0, 2.8])
     fwd_v = -c / np.linalg.norm(c)
     up = np.array([0.0, 1.0, 0.0])
@@ -75,6 +63,20 @@ def main() -> None:
     cam = make_camera(uid=0, R=R_c2w, t=-R_c2w.T @ c, fovx=0.9, fovy=0.9,
                       width=W, height=H)
     camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
+
+    # Budgets (M tiles/splat, K layers/tile, stream_cap) are measured
+    # from the scene, not hand-tuned: exact mode rounds the demand up to
+    # shape quanta only (K to the chunk, cap to 8k), so every routed
+    # byte budget is as tight as the hand-picked r2 numbers were
+    # (K=288/M=20/cap=560k on this scene) with no per-scene flags.
+    from relightable3dgaussian_tpu.ops import autobudget as ab
+    base_cfg = RasterizeConfig(width=W, height=H, chunk=96,
+                               track_contrib=False)
+    cfg = ab.calibrate_from_params(state.params, state.alive, [camera],
+                                   base_cfg, exact=True)
+    print(f"# auto-budget: M={cfg.max_tiles_per_gaussian} "
+          f"K={cfg.max_per_tile} stream_cap={cfg.stream_cap}",
+          file=sys.stderr, flush=True)
     bg = jnp.zeros(3)
     target = jnp.asarray(
         rng.uniform(0, 1, (H, W, 3)).astype(np.float32))

@@ -1,0 +1,230 @@
+"""Automatic rasterizer budget calibration.
+
+The CUDA reference sizes every buffer at runtime from `num_rendered`
+(host sync, `rasterizer_impl.cu:346-351`).  XLA needs static shapes, so
+this framework's budgets — M (`max_tiles_per_gaussian`), K
+(`max_per_tile`) and `stream_cap` — are jit statics.  This module
+derives them from a cheap measurement pass over sample cameras instead
+of per-scene hand tuning:
+
+  1. `measure(...)` projects + bins (indices only, no compositing) and
+     returns the exact scene demands: max tiles touched by any splat,
+     max instances in any tile, total instance count.
+  2. `derive(cfg, stats)` turns those into a `RasterizeConfig`, either
+     `exact` (zero slack beyond shape rounding — lossless for the
+     measured cameras, the right mode for benchmarks/eval of a frozen
+     scene) or with headroom (training, where densification grows P and
+     unmeasured cameras differ; watch `stats["dropped_*"]` and
+     recalibrate when nonzero).
+
+Budgets are rounded (M to 4, K to the compositing chunk, stream_cap to
+8192) so recalibration usually lands on the same config and avoids a
+re-jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from . import binning, projection
+from .rasterize import RasterizeConfig
+
+
+class BudgetStats(NamedTuple):
+    max_tiles: int       # max tiles touched by one splat (→ M)
+    max_per_tile: int    # max instances in one tile (→ K)
+    num_instances: int   # total surviving instances (→ stream_cap)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _measure_tiles(means3d, scales, rotations, opacities, alive, camera,
+                   *, width, height):
+    proj = projection.preprocess(
+        means3d, scales, rotations, opacities, alive,
+        camera["w2c"], camera["full_proj"], camera["campos"],
+        width, height,
+        camera["focal"][0], camera["focal"][1],
+        camera["tan_fov"][0], camera["tan_fov"][1],
+        colors_precomp=jnp.zeros_like(means3d))
+    return jnp.max(jnp.where(proj.valid, proj.tiles_touched, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "m"))
+def _measure_counts(means3d, scales, rotations, opacities, alive, camera,
+                    *, width, height, m):
+    proj = projection.preprocess(
+        means3d, scales, rotations, opacities, alive,
+        camera["w2c"], camera["full_proj"], camera["campos"],
+        width, height,
+        camera["focal"][0], camera["focal"][1],
+        camera["tan_fov"][0], camera["tan_fov"][1],
+        colors_precomp=jnp.zeros_like(means3d))
+    grid = projection.grid_size(width, height)
+    num_tiles = grid[0] * grid[1]
+    key, _, num_instances, _, depth_bits = binning.expand_instance_keys(
+        proj, grid, m)
+    key_sorted = jax.lax.sort(key.reshape(-1))
+    tile_sorted = (key_sorted >> depth_bits).astype(jnp.int32)
+    boundaries = jnp.searchsorted(
+        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side="left")
+    counts = boundaries[1:] - boundaries[:-1]
+    return jnp.max(counts), num_instances
+
+
+def measure(
+    means3d, scales, rotations, opacities, alive,
+    cameras: Sequence[dict],
+    width: int, height: int,
+) -> BudgetStats:
+    """Exact budget demands of (splats, cameras), maxed over cameras.
+
+    `cameras` are `Camera.render_inputs()` dicts; inputs are ACTIVATED
+    splat attributes (positive scales, unit quats, (0,1) opacities).
+    Runs two passes per camera (M is itself a static shape) and syncs
+    the scalars to host — calibration happens once per scene / on
+    overflow, not per step.
+    """
+    max_tiles = max_count = num_inst = 0
+    for cam in cameras:
+        cam = {k: jnp.asarray(v) for k, v in cam.items()}
+        mt = int(_measure_tiles(means3d, scales, rotations, opacities,
+                                alive, cam, width=width, height=height))
+        max_tiles = max(max_tiles, mt)
+    # One rounded M for every camera's count pass → a single compile.
+    m = _round_up(max_tiles, 4)
+    for cam in cameras:
+        cam = {k: jnp.asarray(v) for k, v in cam.items()}
+        mc, ni = _measure_counts(means3d, scales, rotations, opacities,
+                                 alive, cam, width=width, height=height,
+                                 m=m)
+        max_count = max(max_count, int(mc))
+        num_inst = max(num_inst, int(ni))
+    return BudgetStats(max_tiles=max_tiles, max_per_tile=max_count,
+                       num_instances=num_inst)
+
+
+def derive(
+    cfg: RasterizeConfig,
+    stats: BudgetStats,
+    *,
+    exact: bool = False,
+    m_headroom: float = 1.3,
+    k_headroom: float = 1.3,
+    cap_headroom: float = 1.2,
+    max_k: int = 4096,
+) -> RasterizeConfig:
+    """Turn measured demands into a budgeted `RasterizeConfig`.
+
+    `exact=True` applies zero slack beyond shape rounding — lossless for
+    exactly the measured (splats, cameras), e.g. benchmarks and frozen-
+    scene eval.  Otherwise headroom absorbs densification growth and
+    unmeasured cameras; callers must still watch `stats["dropped_*"]`
+    and recalibrate on overflow (`needs_recalibration`).
+    """
+    hm, hk, hc = (1.0, 1.0, 1.0) if exact else (
+        m_headroom, k_headroom, cap_headroom)
+    m = _round_up(int(stats.max_tiles * hm), 4)
+    # The Pallas compositor requires K % chunk == 0; keep the cap on it too.
+    max_k = max((max_k // cfg.chunk) * cfg.chunk, cfg.chunk)
+    k = min(_round_up(int(stats.max_per_tile * hk), cfg.chunk), max_k)
+    gx, gy = cfg.grid
+    cap = min(_round_up(int(stats.num_instances * hc), 8192),
+              gx * gy * k)
+    return dataclasses.replace(
+        cfg, max_tiles_per_gaussian=m, max_per_tile=k, stream_cap=cap)
+
+
+def needs_recalibration(stats: dict) -> bool:
+    """True iff a render's overflow counters show the budget was exceeded
+    (gradients/pixels were lost — recalibrate and re-render)."""
+    return any(int(stats.get(k, 0)) > 0 for k in
+               ("dropped_rect", "dropped_tile", "dropped_stream",
+                "dropped_grad"))
+
+
+def calibrate_from_params(
+    params, alive, cameras: Sequence[dict], cfg: RasterizeConfig,
+    *, exact: bool = False, **headroom,
+) -> RasterizeConfig:
+    """`measure` + `derive` from `models.gaussians` raw params."""
+    from ..models import gaussians as G
+    attrs = G.render_attributes(params)
+    stats = measure(attrs["means3d"], attrs["scales"], attrs["rotations"],
+                    attrs["opacities"], alive, cameras,
+                    cfg.width, cfg.height)
+    return derive(cfg, stats, exact=exact, **headroom)
+
+
+def sample_cameras(cameras: Sequence, n: int = 8) -> list[dict]:
+    """Evenly-spaced `render_inputs()` sample for calibration."""
+    n = min(n, len(cameras))
+    idx = [int(round(i * (len(cameras) - 1) / max(n - 1, 1)))
+           for i in range(n)]
+    return [cameras[i].render_inputs() for i in sorted(set(idx))]
+
+
+class BudgetController:
+    """Holds the live `RasterizeConfig` for a training run.
+
+    Trainers read `controller.cfg` each step (a config change is just a
+    recompile of the step) and call `check(params, alive, stats)` on
+    their cadence: when a step's overflow counters fire — densification
+    grew the scene past the headroom — the controller recalibrates from
+    its sample cameras and swaps in a larger config.  The overflowed
+    step itself trained on a lossy render (dropped instances carry no
+    gradient); with headroom and a `check_every`-step cadence that is a
+    bounded transient, unlike the silent permanent truncation a fixed
+    hand-picked budget risks.
+    """
+
+    def __init__(self, cfg: RasterizeConfig, cameras: Sequence[dict],
+                 check_every: int = 100,
+                 log=None, **headroom):
+        self.cfg = cfg
+        self.cameras = list(cameras)
+        self.check_every = check_every
+        self.headroom = headroom
+        self.log = log or (lambda msg: print(msg, flush=True))
+        self.recalibrations = 0
+
+    @classmethod
+    def calibrated(cls, params, alive, cameras: Sequence[dict],
+                   cfg: RasterizeConfig, check_every: int = 100,
+                   log=None, **headroom) -> "BudgetController":
+        c = cls(cfg, cameras, check_every=check_every, log=log, **headroom)
+        c.cfg = calibrate_from_params(params, alive, c.cameras, cfg,
+                                      **headroom)
+        return c
+
+    def check(self, params, alive, stats: dict) -> bool:
+        """Recalibrate if `stats` (a step's overflow counters) fired.
+        Returns True when the config changed."""
+        if not needs_recalibration(stats):
+            return False
+        old = self.cfg
+        new = calibrate_from_params(params, alive, self.cameras, old,
+                                    **self.headroom)
+        # Budgets only grow — an overflow means the measured sample
+        # under-covers the live distribution, so never hand back slack.
+        self.cfg = dataclasses.replace(
+            new,
+            max_tiles_per_gaussian=max(new.max_tiles_per_gaussian,
+                                       old.max_tiles_per_gaussian),
+            max_per_tile=max(new.max_per_tile, old.max_per_tile),
+            stream_cap=max(new.stream_cap or 0, old.stream_cap or 0)
+            or None)
+        self.recalibrations += 1
+        self.log(f"[autobudget] overflow {dict(stats)} -> "
+                 f"M={self.cfg.max_tiles_per_gaussian} "
+                 f"K={self.cfg.max_per_tile} "
+                 f"cap={self.cfg.stream_cap}")
+        return True

@@ -156,11 +156,17 @@ def train(
     seed: int = 0,
     log_every: int = 0,
     callback: Callable[[int, dict], None] | None = None,
+    budget=None,
 ) -> TrainState:
     """Python-level driver around the compiled steps.
 
     Mirrors the reference iteration structure (`train.py:117-213`):
     random camera order, SH warmup, densify/prune window, opacity resets.
+
+    `budget`: optional `ops.autobudget.BudgetController`; when given it
+    supplies the live raster config (overriding `raster_cfg`) and is
+    asked every `budget.check_every` steps whether the scene outgrew
+    the instance budgets (then the config grows and the step recompiles).
     """
     import numpy as np
     rng = np.random.default_rng(seed)
@@ -189,8 +195,15 @@ def train(
             bg = jnp.ones(3) if cfg.white_background else jnp.zeros(3)
 
         sh_deg = active_sh_degree(it, cfg)
+        if budget is not None:
+            raster_cfg = budget.cfg
         state, metrics = train_step(
             state, camera, gt, bg, tx, raster_cfg, loss_cfg, sh_deg)
+        if budget is not None and it % budget.check_every == 0:
+            gs = state.gaussians
+            budget.check(gs.params, gs.alive, {
+                k.split("/", 1)[1]: int(v) for k, v in metrics.items()
+                if k.startswith("binning/dropped")})
 
         if cfg.densify_from < it < cfg.densify_until \
                 and it % cfg.densification_interval == 0:

@@ -144,6 +144,7 @@ def pbr_train_step(
 
     metrics = dict(aux["tb"])
     metrics["num_alive"] = jnp.sum(alive)
+    metrics.update({f"binning/{k}": v for k, v in aux["stats"].items()})
     new_state = PBRTrainState(
         gaussians=new_gaussians, opt_state=opt_state,
         env=new_env, env_opt=env_opt,
@@ -171,6 +172,7 @@ def train_pbr(
     seed: int = 0,
     log_every: int = 0,
     callback=None,
+    budget=None,
 ) -> PBRTrainState:
     """Driver loop for stage-2 (`train.py:117-213` with is_pbr=True)."""
     import numpy as np
@@ -191,10 +193,17 @@ def train_pbr(
         bg = jnp.ones(3) if white_background else jnp.zeros(3)
 
         key, k = jax.random.split(key)
+        if budget is not None:
+            raster_cfg = budget.cfg
         state, metrics = pbr_train_step(
             state, camera, gt, bg, k, txs, raster_cfg, loss_cfg, sh_deg,
             sample_num=sample_num, use_ldr_image=use_ldr_image,
             trace_visibility=trace_visibility)
+        if budget is not None and it % budget.check_every == 0:
+            gs = state.gaussians
+            budget.check(gs.params, gs.alive, {
+                k2.split("/", 1)[1]: int(v) for k2, v in metrics.items()
+                if k2.startswith("binning/dropped")})
 
         if densify_cfg is not None and it < densify_until \
                 and it % densification_interval == 0:

@@ -1,0 +1,96 @@
+"""Auto-budget calibration: measurements are exact, derived configs lossless."""
+import numpy as np
+import jax.numpy as jnp
+
+from relightable3dgaussian_tpu.models import gaussians as G
+from relightable3dgaussian_tpu.models import render as R
+from relightable3dgaussian_tpu.ops import autobudget as ab
+from relightable3dgaussian_tpu.ops import binning, projection
+from relightable3dgaussian_tpu.ops.rasterize import RasterizeConfig
+from relightable3dgaussian_tpu.scene.cameras import make_camera
+
+W, H = 96, 64
+
+
+def make_scene(P=300, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([-1.0, -0.8, -0.8], [1.0, 0.8, 0.8], (P, 3)).astype(
+        np.float32)
+    cols = rng.uniform(0, 1, (P, 3)).astype(np.float32)
+    state = G.create_from_points(
+        pts, cols, capacity=512,
+        init_scale=rng.uniform(0.01, 0.08, P).astype(np.float32))
+    c = np.array([0.0, 0.0, 3.0])
+    fwd = -c / np.linalg.norm(c)
+    right = np.cross(fwd, [0.0, 1.0, 0.0])
+    dn = np.cross(fwd, right)
+    Rm = np.stack([right, dn, fwd], 1)
+    cam = make_camera(uid=0, R=Rm, t=-Rm.T @ c, fovx=0.9, fovy=0.7,
+                      width=W, height=H)
+    camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
+    return state, camera
+
+
+def brute_force_stats(state, camera):
+    attrs = G.render_attributes(state.params)
+    proj = projection.preprocess(
+        attrs["means3d"], attrs["scales"], attrs["rotations"],
+        attrs["opacities"], state.alive,
+        camera["w2c"], camera["full_proj"], camera["campos"], W, H,
+        camera["focal"][0], camera["focal"][1],
+        camera["tan_fov"][0], camera["tan_fov"][1],
+        colors_precomp=jnp.zeros((state.alive.shape[0], 3)))
+    grid = projection.grid_size(W, H)
+    big = int(jnp.max(jnp.where(proj.valid, proj.tiles_touched, 0))) + 8
+    bins = binning.bin_splats(proj, grid, big, 4096)
+    assert int(bins.dropped_rect) == 0 and int(bins.dropped_tile) == 0
+    max_tiles = int(jnp.max(jnp.where(proj.valid, proj.tiles_touched, 0)))
+    return max_tiles, int(jnp.max(bins.counts)), int(bins.num_instances)
+
+
+def test_measure_matches_brute_force():
+    state, camera = make_scene()
+    attrs = G.render_attributes(state.params)
+    stats = ab.measure(attrs["means3d"], attrs["scales"],
+                       attrs["rotations"], attrs["opacities"], state.alive,
+                       [camera], W, H)
+    bf = brute_force_stats(state, camera)
+    assert (stats.max_tiles, stats.max_per_tile, stats.num_instances) == bf
+
+
+def test_exact_config_is_lossless_and_tight():
+    state, camera = make_scene(seed=2)
+    cfg0 = RasterizeConfig(width=W, height=H, chunk=16)
+    cfg = ab.calibrate_from_params(state.params, state.alive, [camera],
+                                   cfg0, exact=True)
+    res = R.render_view(state.params, state.alive, camera, jnp.zeros(3),
+                        cfg, active_sh_degree=0,
+                        compute_pseudo_normal=False)
+    stats = {k: int(v) for k, v in res["stats"].items()}
+    assert not ab.needs_recalibration(stats), stats
+    # Tight: budgets sit within one rounding quantum of the exact demand.
+    bf_tiles, bf_count, bf_inst = brute_force_stats(state, camera)
+    assert bf_tiles <= cfg.max_tiles_per_gaussian < bf_tiles + 4
+    assert bf_count <= cfg.max_per_tile < bf_count + cfg.chunk
+    assert cfg.stream_cap is not None
+    assert bf_inst <= cfg.stream_cap < bf_inst + 8192
+
+
+def test_headroom_and_recalibration_flag():
+    state, camera = make_scene(seed=3)
+    cfg0 = RasterizeConfig(width=W, height=H, chunk=16)
+    cfg = ab.calibrate_from_params(state.params, state.alive, [camera],
+                                   cfg0)
+    exact = ab.calibrate_from_params(state.params, state.alive, [camera],
+                                     cfg0, exact=True)
+    assert cfg.max_per_tile >= exact.max_per_tile
+    assert cfg.max_tiles_per_gaussian >= exact.max_tiles_per_gaussian
+    assert cfg.stream_cap >= exact.stream_cap
+    # A starved budget must trip the recalibration check.
+    starved = RasterizeConfig(width=W, height=H, chunk=16,
+                              max_tiles_per_gaussian=2, max_per_tile=16)
+    res = R.render_view(state.params, state.alive, camera, jnp.zeros(3),
+                        starved, active_sh_degree=0,
+                        compute_pseudo_normal=False)
+    assert ab.needs_recalibration({k: int(v)
+                                   for k, v in res["stats"].items()})

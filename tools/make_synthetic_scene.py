@@ -1,0 +1,188 @@
+"""Generate a procedural multi-view dataset in Blender/NeRF-synthetic format.
+
+Renders a structured ground-truth splat scene (textured sphere + satellite
+blobs + ground disc) with THIS framework's own rasterizer, then writes
+`transforms_train.json` / `transforms_test.json` + PNG views + an init
+`points3d.ply` — exactly the layout `scene.dataset_readers.read_nerf_synthetic`
+consumes (reference format: `dataset_readers.py:305-403`).
+
+Zero-egress stand-in for the NeRF-synthetic scenes: the GT has genuine
+high-frequency color detail (procedural stripes/checker) so densification
+has structure to chase, and the init cloud is a noisy subsample so training
+must both move points and grow P.
+
+Usage (mini verify scene):
+  python tools/make_synthetic_scene.py --out /tmp/mini_scene \
+      --views 8 --test_views 2 --size 64 --gt_splats 160 --cpu
+
+Dress-rehearsal scene (800², 64 views):
+  python tools/make_synthetic_scene.py --out /tmp/rehearsal_scene \
+      --views 64 --test_views 8 --size 800 --gt_splats 60000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_gt_scene(n: int, seed: int = 0):
+    """Procedural GT splat cloud with high-frequency color structure."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    n_sph = int(n * 0.55)
+    n_blob = int(n * 0.25)
+    n_gnd = n - n_sph - n_blob
+
+    # textured sphere (radius .6) — stripes × checker color field
+    theta = np.arccos(rng.uniform(-1, 1, n_sph))
+    phi = rng.uniform(0, 2 * np.pi, n_sph)
+    sph = 0.6 * np.stack([np.sin(theta) * np.cos(phi),
+                          np.sin(theta) * np.sin(phi),
+                          np.cos(theta)], -1)
+    stripes = 0.5 + 0.5 * np.sin(9.0 * theta)
+    checker = 0.5 + 0.5 * np.sign(np.sin(6 * phi) * np.sin(7 * theta))
+    sph_col = np.stack([stripes,
+                        checker,
+                        0.5 + 0.5 * np.cos(5 * phi)], -1)
+
+    # satellite blobs at fixed offsets, solid-ish colors with noise
+    centers = np.array([[0.9, 0.25, 0.0], [-0.8, 0.4, 0.5],
+                        [0.1, 0.6, -0.9], [-0.4, -0.1, 0.95]])
+    base = np.array([[0.9, 0.2, 0.15], [0.15, 0.75, 0.9],
+                     [0.9, 0.8, 0.1], [0.5, 0.2, 0.85]])
+    which = rng.integers(0, 4, n_blob)
+    blob = centers[which] + rng.normal(0, 0.13, (n_blob, 3))
+    blob_col = np.clip(base[which] + rng.normal(0, 0.08, (n_blob, 3)), 0, 1)
+
+    # ground disc (y = -0.75) with radial rings
+    r = 1.6 * np.sqrt(rng.uniform(0, 1, n_gnd))
+    a = rng.uniform(0, 2 * np.pi, n_gnd)
+    gnd = np.stack([r * np.cos(a), np.full(n_gnd, -0.75), r * np.sin(a)], -1)
+    rings = 0.35 + 0.45 * (0.5 + 0.5 * np.sin(14 * r))
+    gnd_col = np.stack([rings, rings * 0.9, rings * 0.7], -1)
+
+    pts = np.concatenate([sph, blob, gnd]).astype(np.float32)
+    cols = np.concatenate([sph_col, blob_col, gnd_col]).astype(np.float32)
+    # splat size ~ local spacing: sphere area / n
+    scale = np.full(n, 2.2 / np.sqrt(max(n, 1)), np.float32)
+    scale[n_sph + n_blob:] *= 1.6  # ground splats sparser
+    return pts, cols, scale
+
+
+def orbit_pose(ang: float, elev: float, radius: float):
+    """COLMAP-convention camera (columns right/down/forward) on an orbit."""
+    import numpy as np
+    c = np.array([radius * np.cos(ang),
+                  radius * np.sin(elev),
+                  radius * np.sin(ang)], np.float64)
+    fwd = -c / np.linalg.norm(c)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    dn = np.cross(fwd, right)
+    Rm = np.stack([right, dn, fwd], axis=1)
+    return Rm, c
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--views", type=int, default=16)
+    ap.add_argument("--test_views", type=int, default=4)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--gt_splats", type=int, default=2000)
+    ap.add_argument("--init_points", type=int, default=None,
+                    help="points3d.ply size (default gt_splats//4)")
+    ap.add_argument("--fov", type=float, default=0.9)
+    ap.add_argument("--radius", type=float, default=3.2)
+    ap.add_argument("--white_background", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from relightable3dgaussian_tpu.models import gaussians as G
+    from relightable3dgaussian_tpu.models import render as R
+    from relightable3dgaussian_tpu.ops import autobudget as ab
+    from relightable3dgaussian_tpu.ops.rasterize import RasterizeConfig
+    from relightable3dgaussian_tpu.scene import ply as ply_io
+    from relightable3dgaussian_tpu.scene.cameras import make_camera
+
+    rng = np.random.default_rng(args.seed)
+    W = H = args.size
+    pts, cols, scale = build_gt_scene(args.gt_splats, args.seed)
+    cap = 1 << (args.gt_splats - 1).bit_length()
+    state = G.create_from_points(pts, cols, capacity=cap, init_scale=scale)
+
+    # camera set: golden-angle azimuths, jittered elevation band
+    n_total = args.views + args.test_views
+    poses = []
+    for i in range(n_total):
+        ang = 2 * np.pi * ((i * 0.6180339887) % 1.0)
+        elev = 0.15 + 0.45 * ((i * 0.4142135624) % 1.0)
+        poses.append(orbit_pose(ang, elev, args.radius))
+
+    cams = []
+    for i, (Rm, c) in enumerate(poses):
+        cams.append(make_camera(uid=i, R=Rm, t=-Rm.T @ c,
+                                fovx=args.fov, fovy=args.fov,
+                                width=W, height=H))
+    cam_inputs = [{k: jnp.asarray(v) for k, v in cm.render_inputs().items()}
+                  for cm in cams]
+
+    base_cfg = RasterizeConfig(width=W, height=H,
+                               chunk=32 if W < 512 else 96,
+                               track_contrib=False)
+    cfg = ab.calibrate_from_params(state.params, state.alive,
+                                   cam_inputs[:4], base_cfg)
+    bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+
+    render = jax.jit(lambda ci: R.render_view(
+        state.params, state.alive, ci, bg, cfg, active_sh_degree=0,
+        compute_pseudo_normal=False)["render"])
+
+    os.makedirs(args.out, exist_ok=True)
+    for split, idxs in (("train", range(args.views)),
+                        ("test", range(args.views, n_total))):
+        os.makedirs(os.path.join(args.out, split), exist_ok=True)
+        frames = []
+        for i in idxs:
+            img = np.clip(np.asarray(render(cam_inputs[i])), 0, 1)
+            name = f"r_{i}" if split == "train" else f"r_{i - args.views}"
+            Image.fromarray((img * 255 + 0.5).astype(np.uint8)).save(
+                os.path.join(args.out, split, name + ".png"))
+            Rm, c = poses[i]
+            c2w = np.eye(4)
+            c2w[:3, :3] = Rm
+            c2w[:3, 3] = c
+            c2w[:3, 1:3] *= -1  # COLMAP → OpenGL (loader flips back)
+            frames.append({"file_path": f"./{split}/{name}",
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(args.out, f"transforms_{split}.json"),
+                  "w") as f:
+            json.dump({"camera_angle_x": args.fov, "frames": frames}, f)
+        print(f"{split}: {len(frames)} views", flush=True)
+
+    # init point cloud: noisy subsample of GT (training must refine + grow)
+    n_init = args.init_points or max(args.gt_splats // 4, 64)
+    sel = rng.integers(0, pts.shape[0], n_init)
+    init_pts = pts[sel] + rng.normal(0, 0.07, (n_init, 3)).astype(np.float32)
+    init_cols = np.full((n_init, 3), 0.5, np.float32)
+    init_nrm = rng.normal(size=(n_init, 3)).astype(np.float32)
+    init_nrm /= np.linalg.norm(init_nrm, axis=-1, keepdims=True)
+    ply_io.write_points_ply(os.path.join(args.out, "points3d.ply"),
+                            init_pts, init_cols, init_nrm)
+    print(f"wrote {args.out}: {n_total} views @ {W}x{H}, "
+          f"init pcd {n_init}", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,8 +53,14 @@ def main() -> None:
     ap.add_argument("--save_interval", type=int, default=10_000)
     ap.add_argument("--test_interval", type=int, default=5_000)
     ap.add_argument("--log_interval", type=int, default=100)
-    ap.add_argument("--max_per_tile", type=int, default=512)
-    ap.add_argument("--max_tiles_per_gaussian", type=int, default=32)
+    ap.add_argument("--max_per_tile", type=int, default=None,
+                    help="K depth layers/tile; default: auto-calibrated "
+                         "from the scene (ops.autobudget) and re-grown "
+                         "on overflow")
+    ap.add_argument("--max_tiles_per_gaussian", type=int, default=None,
+                    help="M instance slots/splat; default: auto")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="compositing chunk; default 96 on TPU, 32 else")
     ap.add_argument("--max_cameras", type=int, default=None)
     ap.add_argument("--downscale", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
@@ -116,11 +122,30 @@ def main() -> None:
             sh_degree=args.sh_degree, use_pbr=use_pbr, normals=nrms)
         print(f"init {pts.shape[0]} splats from point cloud", flush=True)
 
-    raster_cfg = RasterizeConfig(
-        width=W, height=H,
-        max_tiles_per_gaussian=args.max_tiles_per_gaussian,
-        max_per_tile=args.max_per_tile,
-        track_contrib=False)  # training never reads n_contrib
+    chunk = args.chunk or (96 if jax.default_backend() == "tpu" else 32)
+    auto_budget = (args.max_per_tile is None
+                   and args.max_tiles_per_gaussian is None)
+    if auto_budget:
+        from relightable3dgaussian_tpu.ops import autobudget as ab
+        base_cfg = RasterizeConfig(width=W, height=H, chunk=chunk,
+                                   track_contrib=False)
+        budget = ab.BudgetController.calibrated(
+            state0.params, state0.alive, ab.sample_cameras(cams),
+            base_cfg, check_every=100)
+        raster_cfg = budget.cfg
+        print(f"auto-budget: M={raster_cfg.max_tiles_per_gaussian} "
+              f"K={raster_cfg.max_per_tile} "
+              f"stream_cap={raster_cfg.stream_cap}", flush=True)
+    else:
+        budget = None
+        k_manual = args.max_per_tile or 512
+        if args.chunk is None and k_manual % chunk != 0:
+            chunk = 32 if k_manual % 32 == 0 else 16
+        raster_cfg = RasterizeConfig(
+            width=W, height=H, chunk=chunk,
+            max_tiles_per_gaussian=args.max_tiles_per_gaussian or 32,
+            max_per_tile=k_manual,
+            track_contrib=False)  # training never reads n_contrib
     loss_cfg = R.LossConfig(
         lambda_mask_entropy=args.lambda_mask_entropy,
         lambda_normal_render_depth=args.lambda_normal_render_depth,
@@ -204,7 +229,9 @@ def main() -> None:
             tstate = T.train(
                 tstate, tx, cams, tcfg, raster_cfg, loss_cfg, densify_cfg,
                 extent, num_steps=n, log_every=args.log_interval,
-                callback=callback)
+                callback=callback, budget=budget)
+            if budget is not None:
+                raster_cfg = budget.cfg
             done += n
             if done % args.test_interval == 0 and done < args.iterations:
                 gs = tstate.gaussians
@@ -258,7 +285,10 @@ def main() -> None:
                 trace_visibility=args.lambda_visibility > 0,
                 densify_until=max(0, args.pbr_densify_until - done),
                 white_background=args.white_background,
-                log_every=args.log_interval, callback=callback)
+                log_every=args.log_interval, callback=callback,
+                budget=budget)
+            if budget is not None:
+                raster_cfg = budget.cfg
             done += n
             path = os.path.join(ply_dir, f"point_cloud_{done}.ply")
             npts = ckpt.save_ply(path, tstate.gaussians)
