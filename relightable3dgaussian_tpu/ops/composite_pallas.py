@@ -833,14 +833,18 @@ def _pad_tb(T0, *arrays):
     return T0 + padT, arrays
 
 
-def _stream_fwd_impl(packed128, stream_ids, starts, counts, tile_ids,
-                     grid, chunk, F, K, track=True, *, want_ckpt=False):
+def _stream_rows_impl(rows, starts, counts, tile_ids,
+                      grid, chunk, F, K, track=True, *, want_ckpt=False):
+    """Forward stream kernels on prebuilt instance rows.
+
+    `rows`: [N + K, 128] — a tile-major depth-sorted instance stream of
+    any provenance (gathered by id on one device, a member's contiguous
+    window of the global stream under tile sharding, or the routed TP
+    all-to-all's merged receive stream), padded with K overshoot rows so
+    every window read [starts[t], starts[t] + K) stays in bounds
+    (callers guarantee starts[t] <= N)."""
     gx, gy = grid
     T0 = counts.shape[0]
-    # pad the (small) id array, not the [*, 128] rows: window overshoot
-    sids = jnp.pad(stream_ids, (0, K))
-    rows = jnp.take(packed128, sids, axis=0,
-                    mode="clip")                       # [T*K + K, 128]
     T, (counts, tile_ids, starts) = _pad_tb(T0, counts, tile_ids, starts)
     nchunks = K // chunk
     kern = functools.partial(_forward_stream_kernel, C=chunk, F=F, K=K,
@@ -880,33 +884,32 @@ def _stream_fwd_impl(packed128, stream_ids, starts, counts, tile_ids,
     out = (img[:T0], final_t.reshape(T, P2)[:T0],
            last.reshape(T, P2)[:T0])
     if want_ckpt:
-        return out, (rows, final_t, ckpt_t, ckpt_s)
+        return out, (final_t, ckpt_t, ckpt_s)
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _composite_stream(packed128, stream_ids, starts, counts, tile_ids,
-                      grid, chunk, F, K, track=True):
-    return _stream_fwd_impl(packed128, stream_ids, starts, counts,
-                            tile_ids, grid, chunk, F, K, track)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _composite_stream_rows(rows, starts, counts, tile_ids,
+                           grid, chunk, F, K, track=True):
+    return _stream_rows_impl(rows, starts, counts, tile_ids,
+                             grid, chunk, F, K, track)
 
 
-def _stream_fwd(packed128, stream_ids, starts, counts, tile_ids,
-                grid, chunk, F, K, track=True):
-    out, (rows, final_t, ckpt_t, ckpt_s) = _stream_fwd_impl(
-        packed128, stream_ids, starts, counts, tile_ids, grid, chunk, F,
+def _stream_rows_fwd(rows, starts, counts, tile_ids,
+                     grid, chunk, F, K, track=True):
+    out, (final_t, ckpt_t, ckpt_s) = _stream_rows_impl(
+        rows, starts, counts, tile_ids, grid, chunk, F,
         K, track, want_ckpt=True)
-    return out, (rows, stream_ids, starts, counts, tile_ids, final_t,
-                 ckpt_t, ckpt_s, packed128.shape[0])
+    return out, (rows, starts, counts, tile_ids, final_t,
+                 ckpt_t, ckpt_s)
 
 
-def _stream_bwd(grid, chunk, F, K, track, res, cotangents):
-    (rows, stream_ids, starts, counts, tile_ids, final_t, ckpt_t,
-     ckpt_s, P) = res
+def _stream_rows_bwd(grid, chunk, F, K, track, res, cotangents):
+    (rows, starts, counts, tile_ids, final_t, ckpt_t, ckpt_s) = res
     g_img, g_t, _ = cotangents
     gx, gy = grid
     T0 = counts.shape[0]
-    N = stream_ids.shape[0]
+    N = rows.shape[0] - K
     g_t = g_t.reshape(T0, 1, P2)
     T, (counts, tile_ids, g_img, g_t) = _pad_tb(
         T0, counts, tile_ids, g_img, g_t)
@@ -947,22 +950,34 @@ def _stream_bwd(grid, chunk, F, K, track, res, cotangents):
         out_shape=jax.ShapeDtypeStruct((N + K, 128), jnp.float32),
     )(counts, tile_ids, starts_k, rows, g_img, g_t, final_t, ckpt_t,
       ckpt_s)
-    # Scatter straight back by stream id.  Positions no window wrote
-    # (per-tile K-overflow gaps, the tail past the last window) hold
-    # uninitialized memory: mask their targets out-of-range so the
-    # scatter drops them.
+    # Positions no window wrote (per-tile K-overflow gaps, the tail past
+    # the last window) hold uninitialized memory: zero them so the
+    # caller's gather transpose / reverse all-to-all moves clean rows.
     delta = jnp.zeros(N + K + 1, jnp.int32)
     delta = delta.at[starts].add(1).at[starts + K].add(-1)
     covered = jnp.cumsum(delta)[:N + K] > 0
     covered = covered & (jnp.arange(N + K) < N)
-    # scatter all N+K rows (slicing [:N] would copy 368 MB); the K
-    # overshoot rows are masked out-of-range and dropped
-    ids = jnp.where(covered, jnp.pad(stream_ids, (0, K)), P)
-    g_packed = jnp.zeros((P, 128), jnp.float32).at[ids].add(gout)
-    return g_packed, None, None, None, None
+    g_rows = jnp.where(covered[:, None], gout, 0.0)
+    return g_rows, None, None, None
 
 
-_composite_stream.defvjp(_stream_fwd, _stream_bwd)
+_composite_stream_rows.defvjp(_stream_rows_fwd, _stream_rows_bwd)
+
+
+def _composite_stream(packed128, stream_ids, starts, counts, tile_ids,
+                      grid, chunk, F, K, track=True):
+    """Stream compositor on per-splat packed rows + a stream-id prefix.
+
+    The row gather sits OUTSIDE the kernel vjp: its autodiff transpose
+    is exactly the by-id gradient scatter-add the backward needs (the
+    rows-level vjp zeroes uncovered positions first, so padded/overflow
+    rows scatter zeros)."""
+    # pad the (small) id array, not the [*, 128] rows: window overshoot
+    sids = jnp.pad(stream_ids, (0, K))
+    rows = jnp.take(packed128, sids, axis=0,
+                    mode="clip")                       # [cap + K, 128]
+    return _composite_stream_rows(rows, starts, counts, tile_ids,
+                                  grid, chunk, F, K, track)
 
 
 def composite_pallas_from_data(
@@ -990,6 +1005,40 @@ def composite_pallas_from_data(
     return _composite_core(data, counts, tile_ids, grid, chunk, F)
 
 
+def composite_pallas_stream_rows(
+    rows: jnp.ndarray,
+    starts: jnp.ndarray,
+    counts: jnp.ndarray,
+    tile_ids: jnp.ndarray,
+    grid: tuple[int, int],
+    chunk: int = 32,
+    max_per_tile: int = 64,
+    track_contrib: bool = False,
+):
+    """Stream compositor on a prebuilt depth-sorted instance stream.
+
+    The routed-TP entry point: `parallel.route` delivers each member a
+    merged [N, D] stream for its tiles plus per-tile starts/counts — the
+    kernels window it directly (no dense [Tl, K, D] densification), and
+    the rows cotangent flows back through the reverse all-to-all.
+
+    Args:
+      rows: [N, D] instance rows [xy(2)|conic(3)|opacity(1)|feats(F)],
+        depth-sorted within each tile segment; starts[t] <= N.
+      starts/counts/tile_ids: [Tl] int32 (counts <= max_per_tile).
+
+    Returns:
+      (img [Tl, 256, F], final_t [Tl, 256], n_contrib [Tl, 256]).
+    """
+    N, D = rows.shape
+    F = D - 6
+    assert 6 + F <= 126 and max_per_tile % chunk == 0
+    rows128 = jnp.pad(rows, ((0, max_per_tile), (0, 128 - D)))
+    return _composite_stream_rows(
+        rows128, starts, counts, tile_ids, grid, chunk, F, max_per_tile,
+        track_contrib)
+
+
 def untile_rows(x: jnp.ndarray, grid: tuple[int, int]) -> jnp.ndarray:
     """[T, 256, ...] tile-major (row-major tile order) → [H, W, ...]."""
     gx, gy = grid
@@ -1011,39 +1060,78 @@ def composite_pallas(
     tile_shards: int = 1,
     max_per_tile: int | None = None,
     track_contrib: bool = True,
+    stream_cap_local: int | None = None,
 ) -> CompositeOutput:
     """Pallas-accelerated `composite` (same signature and semantics).
 
     With `tile_axis` (inside shard_map), each member gathers data and runs
     the kernel for its T/tile_shards tile rows only, and the image is
     reassembled with an all_gather — the kernel-backed version of the jnp
-    twin's tile sharding."""
+    twin's tile sharding.  In stream mode `stream_cap_local` bounds each
+    member's window of the global stream (default: the full cap — always
+    lossless, no per-member saving)."""
     gx, gy = grid
     F = feats.shape[-1]
 
     if bins.stream_ids is not None:
         # stream mode: no dense lists; kernels window the sorted
         # instance rows, grad rows carry their own scatter targets
-        assert tile_axis is None and 6 + F <= 126
+        assert 6 + F <= 126
         T = bins.counts.shape[0]
         K = max_per_tile if max_per_tile is not None else \
             bins.stream_ids.shape[0] // T
         assert K % chunk == 0, (K, chunk)
-        P = xy.shape[0]
         # 128 lanes exactly: Mosaic window DMAs need full-lane-tile rows
         # (physically free — the [P, 6+F] layout is lane-padded anyway)
         packed128 = jnp.pad(
             jnp.concatenate([xy, conic, opacity[:, None], feats],
                             axis=-1),
             ((0, 0), (0, 122 - F)))
-        img, final_t, last = _composite_stream(
-            packed128, bins.stream_ids, bins.stream_starts, bins.counts,
-            jnp.arange(T, dtype=jnp.int32), grid, chunk, F, K,
+        if tile_axis is None:
+            img, final_t, last = _composite_stream(
+                packed128, bins.stream_ids, bins.stream_starts,
+                bins.counts, jnp.arange(T, dtype=jnp.int32), grid, chunk,
+                F, K, track_contrib)
+            return CompositeOutput(
+                image=untile_rows(img, grid),
+                final_t=untile_rows(final_t, grid),
+                n_contrib=untile_rows(last, grid),
+            )
+        # Tile-sharded stream (inside shard_map): each member gathers
+        # and composites only its contiguous tile range's WINDOW of the
+        # global stream — every routed byte (gather, kernel DMA, grad
+        # scatter) is capL instead of the full stream cap.  Binning runs
+        # replicated (identical compute on every member).
+        assert T % tile_shards == 0, (T, tile_shards)
+        Tl = T // tile_shards
+        cap = bins.stream_ids.shape[0]
+        capL = min(stream_cap_local or cap, cap)
+        my = jax.lax.axis_index(tile_axis)
+        t0 = my * Tl
+        counts_l = jax.lax.dynamic_slice_in_dim(bins.counts, t0, Tl)
+        starts_abs = jax.lax.dynamic_slice_in_dim(
+            bins.stream_starts, t0, Tl)
+        base = starts_abs[0]
+        start_rel = starts_abs - base
+        # a tile whose segment begins beyond capL would read wrong rows
+        # from the clamped window: render it empty instead (lossless
+        # whenever capL >= the member's true segment length — calibrate
+        # with ops.autobudget; rasterize() counts the overflow).
+        counts_l = jnp.where(start_rel > capL, 0, counts_l)
+        starts_l = jnp.minimum(start_rel, capL)
+        ids_l = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(bins.stream_ids, (0, capL + K)), base, capL + K)
+        rows = jnp.take(packed128, ids_l, axis=0, mode="clip")
+        img, final_t, last = _composite_stream_rows(
+            rows, starts_l, counts_l,
+            t0 + jnp.arange(Tl, dtype=jnp.int32), grid, chunk, F, K,
             track_contrib)
+        gather = functools.partial(
+            jax.lax.all_gather, axis_name=tile_axis, axis=0, tiled=True)
         return CompositeOutput(
-            image=untile_rows(img, grid),
-            final_t=untile_rows(final_t, grid),
-            n_contrib=untile_rows(last, grid),
+            image=untile_rows(gather(img), grid),
+            final_t=untile_rows(gather(final_t), grid),
+            n_contrib=untile_rows(gather(last), grid),
         )
 
     T, K = bins.idx.shape

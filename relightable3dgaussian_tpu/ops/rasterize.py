@@ -53,6 +53,11 @@ class RasterizeConfig:
     # scales with this, so a cap near the real instance count is a pure
     # win; overflow is counted in stats["dropped_stream"], assert 0.
     stream_cap: int | None = None
+    # Per-member window of the stream under tile sharding (default: the
+    # full stream cap — always lossless, no per-member saving).  With a
+    # calibrated value each member's gather/DMA/scatter bytes shrink
+    # ~tile_shards-fold; overflow → stats["dropped_stream_shard"].
+    stream_cap_local: int | None = None
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -85,7 +90,8 @@ def composite_dispatch(cfg: RasterizeConfig, bins, xy, conic, opacity,
             bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk,
             tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards,
             max_per_tile=cfg.max_per_tile,
-            track_contrib=cfg.track_contrib)
+            track_contrib=cfg.track_contrib,
+            stream_cap_local=cfg.stream_cap_local)
     return comp.composite(
         bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk,
         tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)
@@ -148,9 +154,9 @@ def rasterize(
     # Stream mode: the Pallas compositor window-DMAs tile segments
     # straight out of the sorted instance array, so the dense [T, K]
     # lists (a ~4 ms sequential windowed-gather loop at 800²) are never
-    # built.  Single-device kernel path only.
-    stream = (backend == "pallas" and cfg.tile_axis is None
-              and cfg.max_grad_instances is None)
+    # built.  Kernel path only; under tile sharding each member windows
+    # its contiguous slice of the stream.
+    stream = (backend == "pallas" and cfg.max_grad_instances is None)
     bins = binning.bin_splats(
         proj, cfg.grid, cfg.max_tiles_per_gaussian, cfg.max_per_tile,
         grad_cap=cfg.max_grad_instances, stream=stream,
@@ -175,6 +181,30 @@ def rasterize(
     opacity = img[..., 4]
     feature = img[..., 5: 5 + S]
 
+    stats = {
+        "num_instances": bins.num_instances,
+        "dropped_rect": bins.dropped_rect,
+        "dropped_tile": bins.dropped_tile,
+        **({"dropped_grad": bins.dropped_grad}
+           if bins.dropped_grad is not None else {}),
+        **({"dropped_stream": bins.dropped_stream}
+           if bins.dropped_stream is not None else {}),
+    }
+    if stream and cfg.tile_axis is not None:
+        # per-member stream-window overflow (replicated binning → same
+        # value on every member, no psum needed)
+        cap = bins.stream_ids.shape[0]
+        capL = min(cfg.stream_cap_local or cap, cap)
+        if capL < cap:
+            T = bins.counts.shape[0]
+            Tl = T // cfg.tile_shards
+            seg_start = bins.stream_starts.reshape(
+                cfg.tile_shards, Tl)[:, 0]
+            stream_end = bins.stream_starts[-1] + bins.counts[-1]
+            seg_end = jnp.concatenate([seg_start[1:], stream_end[None]])
+            stats["dropped_stream_shard"] = jnp.sum(
+                jnp.maximum(seg_end - seg_start - capL, 0))
+
     return RasterizeOutput(
         color=color,
         opacity=opacity,
@@ -184,13 +214,5 @@ def rasterize(
         n_contrib=out.n_contrib[: cfg.height, : cfg.width],
         radii=proj.radius,
         visible=proj.valid,
-        stats={
-            "num_instances": bins.num_instances,
-            "dropped_rect": bins.dropped_rect,
-            "dropped_tile": bins.dropped_tile,
-            **({"dropped_grad": bins.dropped_grad}
-               if bins.dropped_grad is not None else {}),
-            **({"dropped_stream": bins.dropped_stream}
-               if bins.dropped_stream is not None else {}),
-        },
+        stats=stats,
     )

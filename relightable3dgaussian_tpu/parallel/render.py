@@ -152,17 +152,24 @@ def render_point_sharded_routed(
         route_cap = max(
             2 * Pl * cfg.max_tiles_per_gaussian // nshards, 4096)
 
-    routed = route_mod.route_instances(
-        proj_sl, payload_sl, cfg.grid, axis, nshards,
-        cfg.max_tiles_per_gaussian, cfg.max_per_tile, route_cap)
-
     if backend == "auto":
         backend = "pallas" if _jax.default_backend() == "tpu" else "jnp"
     if backend == "pallas":
-        img, final_t, last = cpal.composite_pallas_from_data(
-            routed.data, routed.counts, routed.tile_ids, cfg.grid,
-            chunk=cfg.chunk)
+        # stream mode: the route's merged receive stream feeds the
+        # window-DMA kernels directly — no dense [Tl, K, D] gather, and
+        # the rows cotangent returns through the reverse all-to-all
+        routed = route_mod.route_instances(
+            proj_sl, payload_sl, cfg.grid, axis, nshards,
+            cfg.max_tiles_per_gaussian, cfg.max_per_tile, route_cap,
+            stream=True)
+        img, final_t, last = cpal.composite_pallas_stream_rows(
+            routed.rows, routed.starts, routed.counts, routed.tile_ids,
+            cfg.grid, chunk=cfg.chunk, max_per_tile=cfg.max_per_tile,
+            track_contrib=cfg.track_contrib)
     else:
+        routed = route_mod.route_instances(
+            proj_sl, payload_sl, cfg.grid, axis, nshards,
+            cfg.max_tiles_per_gaussian, cfg.max_per_tile, route_cap)
         img, final_t, last = comp.composite_from_data(
             routed.data, routed.counts, routed.tile_ids, cfg.grid,
             chunk=cfg.chunk)
@@ -234,10 +241,13 @@ def make_tp_train_step(
 
         (loss, tb), grads = jax.value_and_grad(
             local_loss, has_aux=True)(gs.params)
-        # disjoint per-slice contributions → SUM over the model axis,
-        # then the batch mean over data
+        # Each member's grad rows cover only its own P/S slice, but the
+        # replicated loss on the gathered image scales every cotangent
+        # by S (all_gather transpose = psum_scatter of S identical
+        # cotangents), so the MEAN over the model axis reassembles the
+        # exact full gradient; then the batch mean over data.
         grads = jax.tree.map(
-            lambda g: jax.lax.pmean(jax.lax.psum(g, "tile"), "data"),
+            lambda g: jax.lax.pmean(jax.lax.pmean(g, "tile"), "data"),
             grads)
         loss = jax.lax.pmean(loss, "data")
 

@@ -56,6 +56,21 @@ class RoutedTiles(NamedTuple):
     num_instances: jnp.ndarray  # [] int32 — this member's OWNED instances
 
 
+class RoutedStream(NamedTuple):
+    """`route_instances(stream=True)` result: the receiver's merged
+    depth-sorted stream fed straight to the window-DMA compositor
+    (`ops.composite_pallas.composite_pallas_stream_rows`) — no dense
+    [Tl, K, D] densification gather."""
+    rows: jnp.ndarray       # [S*route_cap, D] merged sorted instance rows
+    starts: jnp.ndarray     # [Tl] int32 segment offsets into rows
+    counts: jnp.ndarray     # [Tl] int32 (clamped to K)
+    tile_ids: jnp.ndarray   # [Tl] int32 global tile ids (this member's)
+    dropped_rect: jnp.ndarray
+    dropped_route: jnp.ndarray
+    dropped_tile: jnp.ndarray
+    num_instances: jnp.ndarray
+
+
 def route_instances(
     proj_sl: ProjectedSplats,
     payload_sl: jnp.ndarray,
@@ -65,7 +80,8 @@ def route_instances(
     max_tiles_per_gaussian: int,
     max_per_tile: int,
     route_cap: int,
-) -> RoutedTiles:
+    stream: bool = False,
+) -> RoutedTiles | RoutedStream:
     """Route local splat instances to tile owners (call inside shard_map).
 
     Args:
@@ -139,6 +155,18 @@ def route_instances(
     starts = bounds[:-1]
     cnt = bounds[1:] - starts
     dropped_tile = jnp.sum(jnp.maximum(cnt - K, 0))
+
+    if stream:
+        return RoutedStream(
+            rows=rr_s,
+            starts=starts,
+            counts=jnp.minimum(cnt, K),
+            tile_ids=t0 + jnp.arange(Tl, dtype=jnp.int32),
+            dropped_rect=dropped_rect,
+            dropped_route=dropped_route,
+            dropped_tile=dropped_tile,
+            num_instances=num_inst,
+        )
 
     pos = starts[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
     pos = jnp.minimum(pos, rk_s.shape[0] - 1)

@@ -190,3 +190,150 @@ def test_point_sharded_tp_step_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(new_state.gaussians.params.shs_dc),
         np.asarray(new1.gaussians.params.shs_dc), atol=2e-5)
+
+
+def test_tile_sharded_stream_matches_unsharded():
+    """Stream compositor under tile sharding (backend=pallas, interpret
+    mode): each member windows its contiguous slice of the sorted
+    instance stream.  Image AND parameter gradients must match the
+    single-device jnp render; a calibrated stream_cap_local must be
+    lossless (dropped_stream_shard == 0)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import PartitionSpec as P_
+
+    st, camera = setup()
+    bg = jnp.zeros(3)
+    cfg1 = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=16,
+                           max_per_tile=32, chunk=8)
+    ref = R.render_view(st.params, st.alive, camera, bg, cfg1,
+                        active_sh_degree=0, compute_pseudo_normal=False)
+
+    def loss1(params):
+        res = R.render_view(params, st.alive, camera, bg, cfg1,
+                            active_sh_degree=0,
+                            compute_pseudo_normal=False)
+        return jnp.sum(res["render"] ** 2) + jnp.sum(res["depth"] ** 2)
+    g_ref = jax.grad(loss1)(st.params)
+
+    S = 4
+    # deliberately tight local window: max member segment, not cap
+    gxy = cfg1.grid
+    cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=16,
+                          max_per_tile=32, chunk=8, backend="pallas",
+                          tile_axis="tile", tile_shards=S,
+                          stream_cap_local=((gxy[0] * gxy[1]) // S) * 32)
+    mesh = make_mesh(data=1, tile=S)
+
+    def shard_fn(params, alive, cam, bg):
+        def loss(p):
+            res = R.render_view(p, alive, cam, bg, cfg,
+                                active_sh_degree=0,
+                                compute_pseudo_normal=False)
+            l = jnp.sum(res["render"] ** 2) + jnp.sum(res["depth"] ** 2)
+            return l, res
+        (l, res), g = jax.value_and_grad(loss, has_aux=True)(params)
+        g = jax.tree.map(lambda x: jax.lax.pmean(x, "tile"), g)
+        return (res["render"], res["final_t"],
+                res["stats"]["dropped_stream_shard"], g)
+
+    with pltpu.force_tpu_interpret_mode():
+        f = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=(P_(),) * 4,
+            out_specs=(P_(),) * 4, check_vma=False))
+        img, final_t, drop, g = f(st.params, st.alive, camera, bg)
+    assert int(drop) == 0
+    np.testing.assert_allclose(np.asarray(img),
+                               np.asarray(ref["render"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final_t),
+                               np.asarray(ref["final_t"]), atol=1e-5)
+    for name in ["xyz", "opacity", "shs_dc", "scaling", "rotation"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(g, name)),
+            np.asarray(getattr(g_ref, name)), atol=5e-4, rtol=5e-4,
+            err_msg=name)
+
+
+def test_tile_sharded_stream_local_overflow_counted():
+    """A too-small stream_cap_local drops whole tiles (rendered empty)
+    and the overflow is counted, never silent."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import PartitionSpec as P_
+
+    st, camera = setup()
+    bg = jnp.zeros(3)
+    cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=16,
+                          max_per_tile=32, chunk=8, backend="pallas",
+                          tile_axis="tile", tile_shards=4,
+                          stream_cap_local=8)
+    mesh = make_mesh(data=1, tile=4)
+
+    def shard_fn(params, alive, cam, bg):
+        res = R.render_view(params, alive, cam, bg, cfg,
+                            active_sh_degree=0,
+                            compute_pseudo_normal=False)
+        return res["render"], res["stats"]["dropped_stream_shard"]
+
+    from jax.sharding import PartitionSpec
+    with pltpu.force_tpu_interpret_mode():
+        f = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=(PartitionSpec(),) * 4,
+            out_specs=(PartitionSpec(),) * 2, check_vma=False))
+        img, drop = f(st.params, st.alive, camera, bg)
+    assert int(drop) > 0
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_routed_stream_matches_unsharded():
+    """Routed TP path with the stream compositor (backend=pallas,
+    interpret mode): route's merged receive stream feeds the window-DMA
+    kernels directly; image and gradients match single-device."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import PartitionSpec as P_
+    from relightable3dgaussian_tpu.parallel import render as prender
+
+    st, camera = setup(P=64, capacity=128)
+    bg = jnp.zeros(3)
+    cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=16,
+                          max_per_tile=32, chunk=8)
+
+    ref = R.render_view(st.params, st.alive, camera, bg, cfg,
+                        active_sh_degree=0, compute_pseudo_normal=False)
+
+    def loss1(params):
+        res = R.render_view(params, st.alive, camera, bg, cfg,
+                            active_sh_degree=0,
+                            compute_pseudo_normal=False)
+        return jnp.sum(res["render"] ** 2)
+    g_ref = jax.grad(loss1)(st.params)
+
+    # 4 members, not 8: interpret-mode pallas io_callbacks deadlock
+    # with 8 concurrent devices (buffer-allocate lock starvation)
+    mesh = make_mesh(data=1, tile=4)
+
+    def shard_fn(params, alive, cam, bg):
+        def loss(p):
+            res = prender.render_point_sharded_routed(
+                p, alive, cam, bg, cfg, "tile", 4, active_sh_degree=0,
+                backend="pallas")
+            return jnp.sum(res["render"] ** 2), res
+        (l, res), g = jax.value_and_grad(loss, has_aux=True)(params)
+        # each member's grad rows are its own slice but carry an S×
+        # factor from the replicated loss on the gathered image
+        # (all_gather transpose) — MEAN reassembles the exact gradient
+        g = jax.tree.map(lambda x: jax.lax.pmean(x, "tile"), g)
+        return (res["render"], res["stats"]["dropped_route"],
+                res["stats"]["dropped_tile"], g)
+
+    with pltpu.force_tpu_interpret_mode():
+        f = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=(P_(),) * 4,
+            out_specs=(P_(),) * 4, check_vma=False))
+        img, drop_r, drop_t, g = f(st.params, st.alive, camera, bg)
+    assert int(drop_r) == 0 and int(drop_t) == 0
+    np.testing.assert_allclose(np.asarray(img),
+                               np.asarray(ref["render"]), atol=1e-5)
+    for name in ["xyz", "opacity", "shs_dc"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(g, name)),
+            np.asarray(getattr(g_ref, name)), atol=5e-4, rtol=5e-4,
+            err_msg=name)
