@@ -130,6 +130,61 @@ def main() -> None:
 
     mpix_s = (W * H) / dt / 1e6
     baseline_mpix_s = 40.0
+
+    # ---- flagship (NeILF PBR) train step: render equation at
+    # sample_num=24 + rasterize + full PBR loss + gradients for splats,
+    # env SH and gamma (reference hot path `render_equation.cu:552-663`
+    # inside `train.py -t neilf`).  Auxiliary metric line; the headline
+    # base-3DGS line stays LAST for the driver's parser. ----
+    if "--no_pbr" not in sys.argv:
+        from relightable3dgaussian_tpu.models import lights as Lt
+        from relightable3dgaussian_tpu.models import neilf as NF
+        pstate = G.create_from_points(
+            pts, cols, capacity=capacity, use_pbr=True,
+            init_scale=np.full(P, 0.012, np.float32))
+        env = Lt.create_direct_light(3)
+        gamma = Lt.create_gamma()
+        ploss_cfg = R.LossConfig()  # PBR lambdas at reference defaults
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def pbr_fwd_bwd(params, env, gamma, key):
+            def loss_fn(p, e, g):
+                res = NF.render(
+                    p, pstate.alive, camera, bg, cfg, env_light=e,
+                    gamma=g, use_ldr_image=True, sample_num=24,
+                    loss_cfg=ploss_cfg, gt={"image": target},
+                    active_sh_degree=3, is_training=True, rng=key)
+                return res["loss"]
+            return jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                params, env, gamma)
+
+        print("# compiling PBR step...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        out = pbr_fwd_bwd(pstate.params, env, gamma, key)
+        jax.block_until_ready(out)
+        print(f"# PBR compile+first step: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        pmedians = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = pbr_fwd_bwd(pstate.params, env, gamma, key)
+            jax.block_until_ready(out)
+            pmedians.append((time.perf_counter() - t0) / iters)
+        pdt = float(np.median(pmedians))
+        print(f"# PBR pipelined {iters}-step avgs: "
+              f"{[round(t, 4) for t in pmedians]}",
+              file=sys.stderr, flush=True)
+        print(json.dumps({
+            "metric": "pbr_train_step_800px_100k_s24",
+            "value": round((W * H) / pdt / 1e6, 3),
+            "unit": "Mpix/s/chip",
+            "vs_baseline": round((W * H) / pdt / 1e6 / baseline_mpix_s,
+                                 4),
+        }))
+
     print(json.dumps({
         "metric": "fwd_bwd_throughput_800px_100k",
         "value": round(mpix_s, 3),
