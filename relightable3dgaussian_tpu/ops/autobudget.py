@@ -121,6 +121,8 @@ def derive(
     k_headroom: float = 1.3,
     cap_headroom: float = 1.2,
     max_k: int = 4096,
+    single_chunk: bool | None = None,
+    single_chunk_max: int = 768,
 ) -> RasterizeConfig:
     """Turn measured demands into a budgeted `RasterizeConfig`.
 
@@ -129,18 +131,37 @@ def derive(
     scene eval.  Otherwise headroom absorbs densification growth and
     unmeasured cameras; callers must still watch `stats["dropped_*"]`
     and recalibrate on overflow (`needs_recalibration`).
+
+    `single_chunk` (None = auto when the Pallas backend will run): set
+    chunk = K so the kernels take their specialized straight-line path —
+    no loop carry, no checkpoint traffic; measured ~15% faster at 800²
+    than chunked despite forgoing chunk-level early exit.  Capped at
+    `single_chunk_max` (VMEM: window scratch is 2·TB·K·128 f32).  Never
+    applied to the jnp twin — its scan materializes [T, chunk, 256]
+    intermediates per step, so big chunks blow HBM on CPU.
     """
     hm, hk, hc = (1.0, 1.0, 1.0) if exact else (
         m_headroom, k_headroom, cap_headroom)
     m = _round_up(int(stats.max_tiles * hm), 4)
-    # The Pallas compositor requires K % chunk == 0; keep the cap on it too.
-    max_k = max((max_k // cfg.chunk) * cfg.chunk, cfg.chunk)
-    k = min(_round_up(int(stats.max_per_tile * hk), cfg.chunk), max_k)
+    if single_chunk is None:
+        backend = cfg.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        single_chunk = backend == "pallas"
+    k_demand = _round_up(int(stats.max_per_tile * hk), 8)
+    if single_chunk and k_demand <= single_chunk_max:
+        chunk = k = min(k_demand, max_k)
+    else:
+        # The Pallas compositor requires K % chunk == 0; cap on it too.
+        chunk = cfg.chunk
+        max_k = max((max_k // chunk) * chunk, chunk)
+        k = min(_round_up(k_demand, chunk), max_k)
     gx, gy = cfg.grid
     cap = min(_round_up(int(stats.num_instances * hc), 8192),
               gx * gy * k)
     return dataclasses.replace(
-        cfg, max_tiles_per_gaussian=m, max_per_tile=k, stream_cap=cap)
+        cfg, max_tiles_per_gaussian=m, max_per_tile=k, chunk=chunk,
+        stream_cap=cap)
 
 
 def needs_recalibration(stats: dict) -> bool:
@@ -215,11 +236,14 @@ class BudgetController:
                                     **self.headroom)
         # Budgets only grow — an overflow means the measured sample
         # under-covers the live distribution, so never hand back slack.
+        k = max(new.max_per_tile, old.max_per_tile)
+        # keep single-chunk mode aligned with the grown K
+        chunk = k if new.chunk == new.max_per_tile else new.chunk
         self.cfg = dataclasses.replace(
             new,
             max_tiles_per_gaussian=max(new.max_tiles_per_gaussian,
                                        old.max_tiles_per_gaussian),
-            max_per_tile=max(new.max_per_tile, old.max_per_tile),
+            max_per_tile=k, chunk=chunk,
             stream_cap=max(new.stream_cap or 0, old.stream_cap or 0)
             or None)
         self.recalibrations += 1

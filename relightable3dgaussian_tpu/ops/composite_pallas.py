@@ -60,6 +60,21 @@ LOG_T_STOP = -9.210340371976184  # log(1e-4)
 MOMENT_BWD = False
 # Forward Σ_k la as a [1,C]x[C,P2] MXU matmul vs a VPU sublane reduce.
 MXU_SUMLA = True
+# Gaussian exponent as a [C,6]x[6,P2] moment matmul (see
+# `_chunk_quantities`) vs the per-element VPU quadratic chain.
+# Measured LOSER on v5e (41.9 vs 38.4 ms/step): the kernels are
+# MXU-bound (tri-matmul cumsums), so adding a [C,6->128]@[6,P2] pass per
+# chunk costs ~3.5 ms while the VPU chain it replaces was free slack.
+# Kept as the A/B harness: `tools/bench_probe.py --absweep POWER_MXU=1,0`.
+POWER_MXU = False
+# First-trigger detection as a VPU min-reduce over trigger positions
+# instead of a second tri-matmul cumsum (exact: t_before is
+# non-increasing, so 'any trigger before k' == 'k > first trigger pos').
+# Measured LOSER on v5e (42.8 vs 37.9 ms/step): a cross-sublane
+# min-reduce on [C, P2] costs more than the [C,C]x[C,P2] MXU cumsum it
+# replaces — sublane reductions are the expensive direction on the VPU.
+# Kept as the A/B harness: `tools/bench_probe.py --absweep TRIG_MIN=1,0`.
+TRIG_MIN = False
 
 
 
@@ -77,14 +92,6 @@ def _cumsum0(x):
 
 TB = 4  # tiles per program (grid blocking: bigger DMA blocks,
         # fewer grid steps; early exit stays per-tile)
-
-
-def _pixel_coords(gx: int, tile_id):
-    """Pixel coordinate rows [1, P2] for one (global) tile id."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, P2), 1)
-    pixx = (tile_id % gx) * TILE + (p % TILE)
-    pixy = (tile_id // gx) * TILE + p // TILE
-    return pixx.astype(jnp.float32), pixy.astype(jnp.float32)
 
 
 def _local_basis():
@@ -107,26 +114,56 @@ def _local_basis():
     return plx, ply, V
 
 
-def _chunk_quantities(data_ref, tb, k0, C, F, count, pixx, pixy):
-    """Common per-chunk math: returns (alpha, valid, feat) for splats
-    [k0, k0+C) against the tile's 256 pixels."""
+def _chunk_quantities(data_ref, tb, k0, C, F, count, ox, oy,
+                      plx, ply, V):
+    """Common per-chunk math for splats [k0, k0+C) against the tile's
+    256 pixels, in the TILE-LOCAL frame (xs/ys shifted by the tile
+    origin — scalar-exact; shared by forward and backward, so the
+    backward's recompute is bit-identical to the forward).
+
+    Returns (chunk fields..., power, raw_alpha, alpha, valid) — callers
+    drop what they don't use (dead code after tracing).
+
+    With POWER_MXU the Gaussian exponent is evaluated as ONE
+    [C, 6] x [6, P2] matmul against the moment basis V (power is
+    quadratic in pixel coords), replacing the ~8-op/element VPU chain;
+    the output is full-lane [C, P2] so nothing is wasted on lane pad
+    (unlike the reduction-direction MOMENT_BWD matmul, which lost)."""
     chunk = data_ref[tb, pl.ds(k0, C), :]           # [C, D]
-    xs = chunk[:, 0:1]                              # [C, 1]
-    ys = chunk[:, 1:2]
+    xs = chunk[:, 0:1] - ox                         # [C, 1] tile-local
+    ys = chunk[:, 1:2] - oy
     ca = chunk[:, 2:3]
     cb = chunk[:, 3:4]
     cc = chunk[:, 4:5]
     op = chunk[:, 5:6]
     feat = chunk[:, 6:6 + F]                        # [C, F]
 
-    dx = xs - pixx                                   # [C, P2]
-    dy = ys - pixy
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    if POWER_MXU:
+        # power = -.5(ca·dx² + cc·dy²) - cb·dx·dy expanded in the basis
+        # V rows [px², px, 1, py, py², px·py]; coefficients are [C, 1]
+        # (256x cheaper than [C, P2] ops).  Tile-local moments stay
+        # ≤ (16+r)², so the expansion loses no f32 precision.
+        coeffs = jnp.concatenate([
+            -0.5 * ca,
+            ca * xs + cb * ys,
+            -0.5 * (ca * xs * xs + cc * ys * ys) - cb * xs * ys,
+            cc * ys + cb * xs,
+            -0.5 * cc,
+            -cb,
+        ], axis=1)                                   # [C, 6]
+        power = jax.lax.dot_general(
+            coeffs, V, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [C, P2]
+    else:
+        dx = xs - plx                                # [C, P2]
+        dy = ys - ply
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    raw_alpha = op * jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, raw_alpha)
     k_ids = k0 + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
     in_count = k_ids < count
     valid = in_count & (power <= 0.0) & (alpha >= ALPHA_MIN)
-    return alpha, valid, feat
+    return xs, ys, ca, cb, cc, op, feat, power, raw_alpha, alpha, valid
 
 
 def _forward_kernel(counts_ref, tids_ref, data_ref, img_ref, t_ref,
@@ -141,13 +178,91 @@ def _forward_kernel(counts_ref, tids_ref, data_ref, img_ref, t_ref,
                           track=track)
 
 
+def _fwd_chunk_math(data_ref, tb, c, C, F, count, ox, oy, plx, ply, V,
+                    log_t, stopped):
+    """Shared forward-chunk math.  `log_t`/`stopped` may be None for a
+    statically-known entry state (logT = 0, nothing stopped) — the
+    single-chunk specialization; the emitted code is then bit-identical
+    to the loop body with zero carries.
+
+    Returns (feat, alpha, la_all, t_before, applied, any_trig, k_iota).
+    """
+    (_, _, _, _, _, _, feat, _, _, alpha, valid) = _chunk_quantities(
+        data_ref, tb, c * C, C, F, count, ox, oy, plx, ply, V)
+
+    la_all = jnp.log1p(-jnp.where(valid, alpha, 0.0))
+    cum = _cumsum0(la_all)
+    excl = cum - la_all
+    t_before = jnp.exp(excl if log_t is None else log_t + excl)
+
+    trigger = valid & (t_before * (1.0 - alpha) < T_STOP)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (C, P2), 0)
+    if TRIG_MIN:
+        # first-trigger position per pixel (min-reduce, VPU); k is
+        # applied iff it precedes it — identical classification to
+        # the prefix-count, one tri-matmul cheaper
+        first_trig = jnp.min(
+            jnp.where(trigger, k_iota, C), axis=0, keepdims=True)
+        applied = valid & (k_iota < first_trig)
+        any_trig = (first_trig < C)[0]
+    else:
+        trig_cum = _cumsum0(trigger.astype(jnp.float32))
+        before = (trig_cum - trigger.astype(jnp.float32)) > 0.5
+        stopped_before = before if stopped is None else stopped | before
+        applied = valid & ~stopped_before & ~trigger
+        any_trig = (trig_cum[C - 1:C, :] > 0.5)[0]
+        return feat, alpha, la_all, t_before, applied, any_trig, k_iota
+    if stopped is not None:
+        applied = applied & ~stopped
+    return feat, alpha, la_all, t_before, applied, any_trig, k_iota
+
+
 def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
                       last_ref, ckpt_t_ref, ckpt_s_ref, tb,
                       *, C: int, F: int, nchunks: int, gx: int,
                       track: bool = True):
     row = pl.program_id(0) * TB + tb
-    pixx, pixy = _pixel_coords(gx, tids_ref[row])
+    tile_id = tids_ref[row]
+    ox = ((tile_id % gx) * TILE).astype(jnp.float32)
+    oy = ((tile_id // gx) * TILE).astype(jnp.float32)
+    plx, ply, V = _local_basis()
     count = counts_ref[row]
+
+    def sum_la(la):
+        if MXU_SUMLA:
+            # Σ_k la on the MXU instead of the VPU sublane reduce
+            return jax.lax.dot_general(
+                jnp.ones((1, C), jnp.float32), la,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return jnp.sum(la, axis=0)[None, :]
+
+    if nchunks == 1:
+        # Single-chunk specialization (C == K): the entry state is
+        # statically known (logT = 0, nothing stopped), so there is no
+        # loop, no carry, and no checkpoint traffic — straight-line
+        # code.  Measured ~3 ms/step faster at 800² than C = K/2 even
+        # though it forgoes chunk-level early exit: the while_loop's
+        # per-iteration control overhead dominates the masked extra
+        # rows.  Empty (padding) tiles compute zeros — same result the
+        # loop's skip produced.
+        ckpt_t_ref[tb] = jnp.zeros((1, P2), jnp.float32)
+        ckpt_s_ref[tb] = jnp.zeros((1, P2), jnp.float32)
+        feat, alpha, la_all, t_before, applied, _, k_iota = \
+            _fwd_chunk_math(data_ref, tb, 0, C, F, count, ox, oy,
+                            plx, ply, V, None, None)
+        la = jnp.where(applied, la_all, 0.0)
+        w = jnp.where(applied, alpha * t_before, 0.0)
+        img_ref[tb] = jax.lax.dot_general(
+            w, feat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t_ref[tb] = jnp.exp(sum_la(la))
+        if track:
+            last_ref[tb] = jnp.max(
+                jnp.where(applied, k_iota + 1, 0), axis=0)[None, :]
+        else:
+            last_ref[tb] = jnp.zeros((1, P2), jnp.int32)
+        return
 
     # Per-chunk entry checkpoints (logT, stopped) streamed to the backward
     # kernel so it can start its reverse sweep directly — no recompute
@@ -161,19 +276,9 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
         stopped = stopped_f > 0.5
         ckpt_t_ref[tb, pl.ds(c, 1), :] = log_t
         ckpt_s_ref[tb, pl.ds(c, 1), :] = stopped_f
-        alpha, valid, feat = _chunk_quantities(
-            data_ref, tb, c * C, C, F, count, pixx, pixy)
-
-        la_all = jnp.log1p(-jnp.where(valid, alpha, 0.0))
-        cum = _cumsum0(la_all)
-        excl = cum - la_all
-        t_before = jnp.exp(log_t + excl)
-
-        trigger = valid & (t_before * (1.0 - alpha) < T_STOP)
-        trig_cum = _cumsum0(trigger.astype(jnp.float32))
-        stopped_before = stopped | (
-            (trig_cum - trigger.astype(jnp.float32)) > 0.5)
-        applied = valid & ~stopped_before & ~trigger
+        feat, alpha, la_all, t_before, applied, any_trig, k_iota = \
+            _fwd_chunk_math(data_ref, tb, c, C, F, count, ox, oy,
+                            plx, ply, V, log_t, stopped)
 
         # Valid-based t_before equals applied-based t_before for every
         # applied splat (before the first trigger, valid ⟺ applied; after
@@ -187,22 +292,13 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
             w, feat, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [P2, F]
 
-        if MXU_SUMLA:
-            # Σ_k la on the MXU instead of the VPU sublane reduce
-            log_t = log_t + jax.lax.dot_general(
-                jnp.ones((1, C), jnp.float32), la,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        else:
-            log_t = log_t + jnp.sum(la, axis=0)[None, :]
+        log_t = log_t + sum_la(la)
         # any(trigger & ~stopped_before) ⟺ any trigger at all: if the
-        # carry was already stopped nothing is applied either way, and
-        # trig_cum's last row already counts the triggers — free.
-        stopped = stopped | (trig_cum[C - 1:C, :] > 0.5)[0]
+        # carry was already stopped nothing is applied either way.
+        stopped = stopped | any_trig
         if track:  # n_contrib: 1-based index of the last applied splat
-            k_idx = c * C + jax.lax.broadcasted_iota(
-                jnp.int32, (C, P2), 0)
-            contrib = jnp.max(jnp.where(applied, k_idx + 1, 0), axis=0)
+            contrib = jnp.max(
+                jnp.where(applied, c * C + k_iota + 1, 0), axis=0)
             last = jnp.maximum(last, contrib[None, :])
         return c + 1, log_t, stopped.astype(jnp.float32), accum, last
 
@@ -261,48 +357,34 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
     # integrating at its entry (checkpoint sentinel stopped=2 marks chunks
     # never reached) and it starts below count — exactly the forward's
     # while condition, so the processed chunks are the prefix [0, n_done).
-    entry_mins = jnp.min(ckpt_s_ref[tb], axis=1, keepdims=True)  # [nc, 1]
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nchunks, 1), 0)
-    n_done = jnp.sum(((entry_mins < 0.5) & (c_iota * C < count))
-                     .astype(jnp.int32))
-
-    # ---- reverse sweep over the forward's per-chunk entry checkpoints ----
-    def bbody(i, g_log_t):
-        c = n_done - 1 - i
-        log_t = ckpt_t_ref[tb, pl.ds(c, 1), :].reshape(1, P2)
-        stopped = ckpt_s_ref[tb, pl.ds(c, 1), :].reshape(1, P2) > 0.5
-
-        chunk_d = data_ref[tb, pl.ds(c * C, C), :]
-        # Tile-local frame while the forward uses global pixel coords:
-        # the recomputed power/alpha can differ from the forward's by a
-        # few ulp, which may flip valid/trigger classification exactly at
-        # the ALPHA_MIN / T_STOP thresholds. Accepted: the affected
-        # splats contribute at the threshold of visibility and the
-        # grad-parity tests bound the effect below their tolerances.
-        xs = chunk_d[:, 0:1] - ox                        # tile-local
-        ys = chunk_d[:, 1:2] - oy
-        ca = chunk_d[:, 2:3]
-        cb = chunk_d[:, 3:4]
-        cc = chunk_d[:, 4:5]
-        op = chunk_d[:, 5:6]
-        feat = chunk_d[:, 6:6 + F]
-
+    def bwd_chunk(c, log_t, stopped, g_log_t):
+        # `log_t`/`stopped` None = statically-known entry state (single-
+        # chunk specialization); same tile-local helper as the forward —
+        # the recomputed power/alpha/valid are bit-identical to it
+        (xs, ys, ca, cb, cc, op, feat, power, raw_alpha, alpha,
+         valid) = _chunk_quantities(
+            data_ref, tb, c * C, C, F, count, ox, oy, plx, ply, V)
         dx = xs - plx
         dy = ys - ply
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        raw_alpha = op * jnp.exp(power)
-        alpha = jnp.minimum(ALPHA_MAX, raw_alpha)
-        k_ids = c * C + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-        valid = (k_ids < count) & (power <= 0.0) & (alpha >= ALPHA_MIN)
 
         la_all = jnp.log1p(-jnp.where(valid, alpha, 0.0))
         cum = _cumsum0(la_all)
-        t_before0 = jnp.exp(log_t + cum - la_all)
+        excl = cum - la_all
+        t_before0 = jnp.exp(excl if log_t is None else log_t + excl)
         trigger = valid & (t_before0 * (1.0 - alpha) < T_STOP)
-        trig_cum = _cumsum0(trigger.astype(jnp.float32))
-        stopped_before = stopped | (
-            (trig_cum - trigger.astype(jnp.float32)) > 0.5)
-        applied = valid & ~stopped_before & ~trigger
+        if TRIG_MIN:
+            k_iota = jax.lax.broadcasted_iota(jnp.int32, (C, P2), 0)
+            first_trig = jnp.min(
+                jnp.where(trigger, k_iota, C), axis=0, keepdims=True)
+            applied = valid & (k_iota < first_trig)
+            if stopped is not None:
+                applied = applied & ~stopped
+        else:
+            trig_cum = _cumsum0(trigger.astype(jnp.float32))
+            before = (trig_cum - trigger.astype(jnp.float32)) > 0.5
+            stopped_before = before if stopped is None \
+                else stopped | before
+            applied = valid & ~stopped_before & ~trigger
 
         # valid-based t_before == applied-based for applied splats
         ea = jnp.where(applied, alpha, 0.0)
@@ -389,6 +471,26 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
         # (`total` is already Σ_k gww — reuse, no second reduction)
         g_log_t_new = total + g_log_t
         return g_log_t_new
+
+    if nchunks == 1:
+        # single-chunk specialization: no checkpoint reads, no reverse
+        # loop — one straight-line pass with the known entry state.
+        # Empty (padding) tiles produce all-zero gradient rows, same as
+        # the loop's n_done = 0 skip.
+        bwd_chunk(0, None, None, g_log_t0)
+        return
+
+    entry_mins = jnp.min(ckpt_s_ref[tb], axis=1, keepdims=True)  # [nc, 1]
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nchunks, 1), 0)
+    n_done = jnp.sum(((entry_mins < 0.5) & (c_iota * C < count))
+                     .astype(jnp.int32))
+
+    # ---- reverse sweep over the forward's per-chunk entry checkpoints ----
+    def bbody(i, g_log_t):
+        c = n_done - 1 - i
+        log_t = ckpt_t_ref[tb, pl.ds(c, 1), :].reshape(1, P2)
+        stopped = ckpt_s_ref[tb, pl.ds(c, 1), :].reshape(1, P2) > 0.5
+        return bwd_chunk(c, log_t, stopped, g_log_t)
 
     jax.lax.fori_loop(0, n_done, bbody, g_log_t0)
 

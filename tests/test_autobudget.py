@@ -1,4 +1,6 @@
 """Auto-budget calibration: measurements are exact, derived configs lossless."""
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -94,3 +96,25 @@ def test_headroom_and_recalibration_flag():
                         compute_pseudo_normal=False)
     assert ab.needs_recalibration({k: int(v)
                                    for k, v in res["stats"].items()})
+
+
+def test_single_chunk_mode_for_pallas_backend():
+    """With the Pallas backend, derive() sets chunk = K (the kernels'
+    specialized straight-line path); the jnp twin keeps the caller's
+    chunk (its scan would materialize [T, chunk, 256] per step)."""
+    stats = ab.BudgetStats(max_tiles=18, max_per_tile=281,
+                           num_instances=550_000)
+    base = RasterizeConfig(width=800, height=800, chunk=96,
+                           backend="pallas")
+    cfg = ab.derive(base, stats, exact=True)
+    assert cfg.max_per_tile == 288 and cfg.chunk == 288
+
+    cfg_j = ab.derive(dataclasses.replace(base, backend="jnp"), stats,
+                      exact=True)
+    assert cfg_j.chunk == 96 and cfg_j.max_per_tile % 96 == 0
+
+    # beyond the VMEM bound: falls back to chunked
+    big = ab.BudgetStats(max_tiles=18, max_per_tile=2000,
+                         num_instances=550_000)
+    cfg_b = ab.derive(base, big, exact=True)
+    assert cfg_b.chunk == 96 and cfg_b.max_per_tile % 96 == 0

@@ -328,7 +328,11 @@ def test_track_contrib_off_same_image():
     assert np.asarray(on.n_contrib).max() > 0
 
 
-@pytest.mark.parametrize("F,K,chunk", [(5, 32, 8), (26, 64, 32)])
+@pytest.mark.parametrize("F,K,chunk",
+                         [(5, 32, 8), (26, 64, 32),
+                          (5, 32, 32), (8, 64, 64)])  # chunk==K:
+                         # single-chunk specialized kernels
+
 def test_stream_shape_fuzz(F, K, chunk):
     """Stream-path parity across feature widths and K/chunk combos."""
     proj, _, grid, _ = make_proj(P=30, seed=F + K)
