@@ -412,24 +412,25 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
         # alpha = min(0.99, op * exp(power)) — gate the min
         open_gate = (raw_alpha < ALPHA_MAX) & applied
         g_raw = jnp.where(open_gate, g_alpha, 0.0)
-        g_op_pix = g_raw * jnp.exp(power)                   # [C, P2]
         g_power = g_raw * raw_alpha
+        # d/d_op = exp(power) = raw_alpha/op: reuse g_power instead of a
+        # second [C,P2] exp — Σ_p g_raw·exp(power) = Σ_p g_power / op
+        inv_op = 1.0 / op                                   # [C, 1]
 
         if MOMENT_BWD:
             # All six pixel reductions via one stacked moment matmul
             # (see `_local_basis`): S[k] = Σ_p g·{px²,px,1,py,py²,px·py};
             # the opacity row reduction rides V's ones column.
             S = jax.lax.dot_general(
-                jnp.concatenate([g_power, g_op_pix], axis=0), V,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [2C, 6]
+                g_power, V, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [C, 6]
             s_xx = S[:C, 0:1]   # Σ g·px²
             s_x = S[:C, 1:2]    # Σ g·px
             s_1 = S[:C, 2:3]    # Σ g
             s_y = S[:C, 3:4]    # Σ g·py
             s_yy = S[:C, 4:5]   # Σ g·py²
             s_xy = S[:C, 5:6]   # Σ g·px·py
-            g_op = S[C:, 2:3]   # Σ g_op_pix
+            g_op = S[:C, 2:3] * inv_op   # Σ g_power / op
 
             # ∂power/∂θ expanded in pixel moments (dx = xs - px, local):
             g_ca = -0.5 * (s_xx - 2.0 * xs * s_x + xs * xs * s_1)
@@ -447,7 +448,7 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
             g_dy = g_power * (-(cc * dy + cb * dx))
             g_xs = jnp.sum(g_dx, axis=1, keepdims=True)
             g_ys = jnp.sum(g_dy, axis=1, keepdims=True)
-            g_op = jnp.sum(g_op_pix, axis=1, keepdims=True)
+            g_op = jnp.sum(g_power, axis=1, keepdims=True) * inv_op
 
         parts = [g_xs, g_ys, g_ca, g_cb, g_cc, g_op, g_feat]
         if tiled == "pad128":
