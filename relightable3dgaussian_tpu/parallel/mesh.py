@@ -79,11 +79,23 @@ def make_mesh_multihost(data: int | None = None, tile: int = 1) -> Mesh:
 
     nproc = jax.process_count()
     if nproc > 1 and data % nproc == 0:
-        from jax.experimental import mesh_utils
-        devs = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(data // nproc, tile),
-            dcn_mesh_shape=(nproc, 1),
-        )
-        return Mesh(devs, axis_names=("data", "tile"))
+        try:
+            from jax.experimental import mesh_utils
+            devs = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(data // nproc, tile),
+                dcn_mesh_shape=(nproc, 1),
+            )
+            return Mesh(devs, axis_names=("data", "tile"))
+        except ValueError:
+            # No slice topology to group by (e.g. the CPU-simulated
+            # multi-process harness, where every virtual device reports
+            # slice 0) — build the host-major layout by hand: sort by
+            # (process, id) and reshape (nproc, data/nproc, tile) so
+            # each process's devices form contiguous data blocks and
+            # the tile axis never crosses a process boundary.
+            devs = sorted(jax.devices(),
+                          key=lambda d: (d.process_index, d.id))
+            arr = np.array(devs).reshape(data, tile)
+            return Mesh(arr, axis_names=("data", "tile"))
     arr = np.array(jax.devices()[:n]).reshape(data, tile)
     return Mesh(arr, axis_names=("data", "tile"))

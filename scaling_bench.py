@@ -37,6 +37,10 @@ def parse_args():
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--multihost", action="store_true",
                     help="jax.distributed.initialize() before anything")
+    ap.add_argument("--local_devices", type=int, default=None,
+                    help="virtual CPU devices in THIS process (multihost "
+                         "simulation: processes x local_devices = global; "
+                         "default max(--devices))")
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--splats", type=int, default=8192)
@@ -64,6 +68,18 @@ def _time_steps(fn, args, steps, warmup, block, rebind=None):
     return (time.perf_counter() - t0) / steps, out
 
 
+def _mesh(data, tile):
+    """Plain mesh single-process; DCN-aware hybrid mesh when the run
+    spans processes and uses every global device (exercises
+    `parallel.mesh.make_mesh_multihost`'s host-major data placement)."""
+    import jax
+    from relightable3dgaussian_tpu.parallel.mesh import (
+        make_mesh, make_mesh_multihost)
+    if jax.process_count() > 1 and data * tile == jax.device_count():
+        return make_mesh_multihost(data=data, tile=tile)
+    return make_mesh(data=data, tile=tile)
+
+
 def bench_dp_tile(mode, n, a):
     import jax
     import jax.numpy as jnp
@@ -77,7 +93,7 @@ def bench_dp_tile(mode, n, a):
     from __graft_entry__ import _toy_scene
 
     data, tile = (n, 1) if mode == "dp" else (1, n)
-    mesh = make_mesh(data=data, tile=tile)
+    mesh = _mesh(data, tile)
     state, _, camera = _toy_scene(
         P=a.splats, capacity=2 * a.splats, W=a.width, H=a.height)
     cfg = RasterizeConfig(
@@ -114,7 +130,7 @@ def bench_tp(n, a):
     from relightable3dgaussian_tpu.training import trainer as T
     from __graft_entry__ import _toy_scene
 
-    mesh = make_mesh(data=1, tile=n)
+    mesh = _mesh(1, n)
     state, _, camera = _toy_scene(
         P=a.splats, capacity=2 * a.splats, W=a.width, H=a.height)
     cfg = RasterizeConfig(
@@ -145,7 +161,7 @@ def bench_rays(n, a):
     from relightable3dgaussian_tpu.parallel.mesh import make_mesh
     from __graft_entry__ import _toy_scene
 
-    mesh = make_mesh(data=n, tile=1)
+    mesh = _mesh(n, 1)
     state, _, _ = _toy_scene(P=a.splats, capacity=a.splats)
     p = state.params
     sym6 = RT.inverse_covariance(G.get_scaling(p), G.get_rotation(p))
@@ -173,9 +189,10 @@ def main():
     a = parse_args()
     counts = [int(x) for x in a.devices.split(",")]
     if a.platform == "cpu":
+        nloc = a.local_devices or max(counts)
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={max(counts)}")
+            + f" --xla_force_host_platform_device_count={nloc}")
     import jax
     if a.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
