@@ -72,20 +72,55 @@ def make_sharded_train_step(
     def shard_fn(state: TrainState, cameras, gt_images, bg):
         gs = state.gaussians
 
-        def local_loss(params):
-            def one(cam_gt):
-                cam, gt = cam_gt
-                return per_camera_loss(params, gs.alive, cam, gt, bg)
-            losses, tbs = jax.lax.map(one, (cameras, gt_images))
-            return jnp.mean(losses), jax.tree.map(jnp.mean, tbs)
+        def reduce_grads(g):
+            # Tile members each hold ntile× their row-block's
+            # contribution (all_gather transpose), so pmean over "tile"
+            # restores the full gradient; pmean over "data" completes
+            # the batch mean.
+            return jax.tree.map(
+                lambda x: jax.lax.pmean(jax.lax.pmean(x, "tile"),
+                                        "data"), g)
 
-        (loss, tb), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(gs.params)
+        B = gt_images.shape[0]  # cameras per data member
+        if B == 1:
+            def local_loss(params):
+                return per_camera_loss(
+                    params, gs.alive,
+                    jax.tree.map(lambda x: x[0], cameras),
+                    gt_images[0], bg)
+            (loss, tb), grads = jax.value_and_grad(
+                local_loss, has_aux=True)(gs.params)
+            grads = reduce_grads(grads)
+        else:
+            # Bucketed DP (B > 1 cameras per member): one backward per
+            # camera, each bucket's gradients all-reduced IMMEDIATELY —
+            # the latency-hiding scheduler turns these into async
+            # all-reduce-start/done pairs that overlap the next
+            # camera's forward+backward (evidence:
+            # tools/overlap_evidence.py --batch 2).  Mathematically
+            # identical to one pmean of the batch mean (pmean is
+            # linear); the unrolled loop costs compile time ∝ B, so
+            # keep per-member batches small.
+            loss = 0.0
+            tb = None
+            grads = None
+            for b in range(B):
+                cam_b = jax.tree.map(lambda x: x[b], cameras)
 
-        # Tile members each hold ntile× their row-block's contribution
-        # (all_gather transpose), so pmean over "tile" restores the full
-        # gradient; pmean over "data" completes the batch mean.
-        grads = jax.lax.pmean(jax.lax.pmean(grads, "tile"), "data")
+                def local_loss(params, cam_b=cam_b, gt_b=gt_images[b]):
+                    return per_camera_loss(
+                        params, gs.alive, cam_b, gt_b, bg)
+                (loss_b, tb_b), g_b = jax.value_and_grad(
+                    local_loss, has_aux=True)(gs.params)
+                g_b = reduce_grads(g_b)
+                loss = loss + loss_b / B
+                tb = tb_b if tb is None else jax.tree.map(
+                    lambda a, x: a + x, tb, tb_b)
+                grads = g_b if grads is None else jax.tree.map(
+                    lambda a, x: a + x, grads, g_b)
+            grads = jax.tree.map(lambda x: x / B, grads)
+            tb = jax.tree.map(lambda x: x / B, tb)
+
         loss = jax.lax.pmean(loss, "data")
         tb = jax.tree.map(lambda x: jax.lax.pmean(x, "data"), tb)
 

@@ -337,3 +337,34 @@ def test_routed_stream_matches_unsharded():
             np.asarray(getattr(g, name)),
             np.asarray(getattr(g_ref, name)), atol=5e-4, rtol=5e-4,
             err_msg=name)
+
+
+def test_bucketed_dp_step_matches_single_camera():
+    """B > data (multiple cameras per member) takes the bucketed-DP
+    branch (per-camera backward + immediate per-bucket pmean); with
+    identical cameras the update must equal the single-camera step."""
+    st, camera = setup()
+    cfg = RasterizeConfig(width=W, height=H, max_tiles_per_gaussian=16,
+                          max_per_tile=32, chunk=8)
+    gt = jnp.full((8, H, W, 3), 0.5, jnp.float32)
+    bg = jnp.zeros(3)
+
+    tstate1, tx1 = T.init_train_state(st, opt_mod.OptimConfig())
+    new1, m1 = T.train_step(
+        tstate1, camera, {"image": gt[0]}, bg, tx1, cfg,
+        R.LossConfig(), 0)
+
+    mesh = make_mesh(data=4, tile=1)
+    tstate, tx = T.init_train_state(st, opt_mod.OptimConfig())
+    step = ptrain.make_sharded_train_step(
+        tx, mesh, cfg, R.LossConfig(), sh_deg=0)
+    cameras = {k: jnp.stack([v] * 8) for k, v in camera.items()}
+    new_state, metrics = step(
+        ptrain.replicate(tstate, mesh),
+        ptrain.shard_batch(cameras, mesh),
+        ptrain.shard_batch(gt, mesh), bg)
+    np.testing.assert_allclose(float(metrics["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_state.gaussians.params.xyz),
+        np.asarray(new1.gaussians.params.xyz), atol=2e-5)
