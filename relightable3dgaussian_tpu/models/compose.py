@@ -169,6 +169,7 @@ def precompute_visibility(
     sample_num: int = 384,
     chunk: int = 4096,
     use_cells: bool | None = None,
+    strict: bool = True,
 ) -> jnp.ndarray:
     """Trace per-splat visibility along the deterministic fibonacci dirs
     (`update_visibility(is_bake=False)`, `relighting.py:58-86`).
@@ -177,6 +178,11 @@ def precompute_visibility(
     culled tracer (`raytrace.trace_visibility_cells`, lossless — the
     TPU analogue of the reference's LBVH) replaces the dense sweep.
     `use_cells` forces the choice (None = auto by capacity).
+
+    `strict=True` (default) raises if any (ray, cell) pair fell beyond
+    the tracer's `max_rays_per_cell` budget — a silent drop would
+    overestimate visibility; pass strict=False to downgrade to a
+    warning (the counter discipline of the rasterizer's `dropped_*`).
 
     Returns [N, S, 1] visibility aligned with `sample_incident_dirs`
     (deterministic, no azimuth randomization).
@@ -223,11 +229,14 @@ def precompute_visibility(
         out.append(vis.reshape(n, sample_num, 1))
     dropped = int(sum(jnp.asarray(d) for d in drops))
     if dropped:
+        msg = (f"precompute_visibility: {dropped} (ray, cell) pairs "
+               "beyond max_rays_per_cell — visibility overestimated; "
+               "raise the budget or lower the trace chunk")
+        if strict:
+            raise ValueError(msg + " (or pass strict=False to accept "
+                             "the overestimate)")
         import warnings
-        warnings.warn(
-            f"precompute_visibility: {dropped} (ray, cell) pairs beyond "
-            "max_rays_per_cell — visibility overestimated; raise the "
-            "budget or lower the trace chunk", stacklevel=2)
+        warnings.warn(msg, stacklevel=2)
     return jnp.concatenate(out, axis=0)
 
 

@@ -38,6 +38,9 @@ class BudgetStats(NamedTuple):
     max_tiles: int       # max tiles touched by one splat (→ M)
     max_per_tile: int    # max instances in one tile (→ K)
     num_instances: int   # total surviving instances (→ stream_cap)
+    rect_slots: int = 0  # total rect-area slots (offset-expansion cap
+                         # demand: includes the corner tiles the exact
+                         # circle test later discards)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -54,12 +57,13 @@ def _measure_tiles(means3d, scales, rotations, opacities, alive, camera,
         camera["focal"][0], camera["focal"][1],
         camera["tan_fov"][0], camera["tan_fov"][1],
         colors_precomp=jnp.zeros_like(means3d))
-    return jnp.max(jnp.where(proj.valid, proj.tiles_touched, 0))
+    tt = jnp.where(proj.valid, proj.tiles_touched, 0)
+    return jnp.max(tt), jnp.sum(tt)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "m"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "cap"))
 def _measure_counts(means3d, scales, rotations, opacities, alive, camera,
-                    *, width, height, m):
+                    *, width, height, cap):
     proj = projection.preprocess(
         means3d, scales, rotations, opacities, alive,
         camera["w2c"], camera["full_proj"], camera["campos"],
@@ -69,15 +73,17 @@ def _measure_counts(means3d, scales, rotations, opacities, alive, camera,
         colors_precomp=jnp.zeros_like(means3d))
     grid = projection.grid_size(width, height)
     num_tiles = grid[0] * grid[1]
-    key, _, num_instances, _, depth_bits = binning.expand_instance_keys(
-        proj, grid, m)
-    key_sorted = jax.lax.sort(key.reshape(-1))
+    # Offset expansion: memory is bound by `cap`, never by [P, max-M] —
+    # the measurement itself must survive un-calibrated scenes.
+    key, _, num_instances, dropped, depth_bits = (
+        binning.expand_instance_keys_offset(proj, grid, cap))
+    key_sorted = jax.lax.sort(key)
     tile_sorted = (key_sorted >> depth_bits).astype(jnp.int32)
     boundaries = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32),
         side="left")
     counts = boundaries[1:] - boundaries[:-1]
-    return jnp.max(counts), num_instances
+    return jnp.max(counts), num_instances, dropped
 
 
 def measure(
@@ -89,27 +95,30 @@ def measure(
 
     `cameras` are `Camera.render_inputs()` dicts; inputs are ACTIVATED
     splat attributes (positive scales, unit quats, (0,1) opacities).
-    Runs two passes per camera (M is itself a static shape) and syncs
-    the scalars to host — calibration happens once per scene / on
-    overflow, not per step.
+    The count pass runs the offset expansion under a measurement cap
+    sized from the tile pass's exact rect-slot total, so calibration
+    never materializes a [P, max-M] matrix (an un-densified init cloud
+    can have a splat touching every tile).
     """
-    max_tiles = max_count = num_inst = 0
+    max_tiles = max_count = num_inst = rect_slots = 0
     for cam in cameras:
         cam = {k: jnp.asarray(v) for k, v in cam.items()}
-        mt = int(_measure_tiles(means3d, scales, rotations, opacities,
-                                alive, cam, width=width, height=height))
-        max_tiles = max(max_tiles, mt)
-    # One rounded M for every camera's count pass → a single compile.
-    m = _round_up(max_tiles, 4)
+        mt, slots = _measure_tiles(means3d, scales, rotations, opacities,
+                                   alive, cam, width=width, height=height)
+        max_tiles = max(max_tiles, int(mt))
+        rect_slots = max(rect_slots, int(slots))
+    # One cap for every camera's count pass → a single compile.
+    cap = _round_up(rect_slots, 1 << 16)
     for cam in cameras:
         cam = {k: jnp.asarray(v) for k, v in cam.items()}
-        mc, ni = _measure_counts(means3d, scales, rotations, opacities,
-                                 alive, cam, width=width, height=height,
-                                 m=m)
+        mc, ni, dropped = _measure_counts(
+            means3d, scales, rotations, opacities, alive, cam,
+            width=width, height=height, cap=cap)
+        assert int(dropped) == 0  # cap covers the exact rect-slot total
         max_count = max(max_count, int(mc))
         num_inst = max(num_inst, int(ni))
     return BudgetStats(max_tiles=max_tiles, max_per_tile=max_count,
-                       num_instances=num_inst)
+                       num_instances=num_inst, rect_slots=rect_slots)
 
 
 def derive(
@@ -123,6 +132,7 @@ def derive(
     max_k: int = 4096,
     single_chunk: bool | None = None,
     single_chunk_max: int = 768,
+    stream_k_max: int = 1152,
 ) -> RasterizeConfig:
     """Turn measured demands into a budgeted `RasterizeConfig`.
 
@@ -143,6 +153,11 @@ def derive(
     hm, hk, hc = (1.0, 1.0, 1.0) if exact else (
         m_headroom, k_headroom, cap_headroom)
     m = _round_up(int(stats.max_tiles * hm), 4)
+    # Heavy-tailed tile footprints (un-densified init clouds: p50 ~20
+    # tiles/splat, max in the thousands) make the dense [P, M] slot
+    # matrix explode; past this M the offset expansion's instance-bound
+    # memory/sort wins and M stops being a budget at all.
+    offset_mode = m > 64
     if single_chunk is None:
         backend = cfg.backend
         if backend == "auto":
@@ -154,14 +169,27 @@ def derive(
     else:
         # The Pallas compositor requires K % chunk == 0; cap on it too.
         chunk = cfg.chunk
+        if single_chunk is not None and single_chunk:
+            # pallas stream kernels: window scratch is 2·TB·K·128 f32
+            # per direction — K past ~1152 blows the 16 MB scoped-VMEM
+            # limit (measured: K=1536 → 16.5 MB).  Depth layers beyond
+            # the cap sit behind a saturated transmittance and are
+            # dropped AND counted (dropped_tile; the controller logs
+            # once and pins the budget).
+            max_k = min(max_k, stream_k_max)
         max_k = max((max_k // chunk) * chunk, chunk)
         k = min(_round_up(k_demand, chunk), max_k)
     gx, gy = cfg.grid
-    cap = min(_round_up(int(stats.num_instances * hc), 8192),
-              gx * gy * k)
+    if offset_mode:
+        # the expansion cap must hold every rect-area slot (corner
+        # tiles are circle-culled only after slots are enumerated)
+        cap = _round_up(int(stats.rect_slots * hc), 8192)
+    else:
+        cap = min(_round_up(int(stats.num_instances * hc), 8192),
+                  gx * gy * k)
     return dataclasses.replace(
         cfg, max_tiles_per_gaussian=m, max_per_tile=k, chunk=chunk,
-        stream_cap=cap)
+        stream_cap=cap, expansion="offset" if offset_mode else "dense")
 
 
 def needs_recalibration(stats: dict) -> bool:
@@ -246,6 +274,12 @@ class BudgetController:
             max_per_tile=k, chunk=chunk,
             stream_cap=max(new.stream_cap or 0, old.stream_cap or 0)
             or None)
+        if self.cfg == old:
+            # the budget is pinned at a hard cap (e.g. max_k) — a
+            # recalibration loop would re-jit every check for nothing
+            self.log("[autobudget] overflow persists at capped budget "
+                     f"{dict(stats)}; keeping cfg")
+            return False
         self.recalibrations += 1
         self.log(f"[autobudget] overflow {dict(stats)} -> "
                  f"M={self.cfg.max_tiles_per_gaussian} "

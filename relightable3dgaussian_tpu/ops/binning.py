@@ -117,6 +117,109 @@ def expand_instance_keys(
     return key, gauss_id, num_instances, dropped_rect, depth_bits
 
 
+def expand_instance_keys_offset(
+    proj: ProjectedSplats,
+    grid: tuple[int, int],
+    cap: int,
+):
+    """`expand_instance_keys` without the dense [P, M] slot matrix:
+    memory and sort cost are bound by the total INSTANCE budget `cap`,
+    not by P x (max tiles touched by any one splat).
+
+    The dense expansion gives every splat the same static per-splat slot
+    count M — heavy-tailed scenes (un-densified init clouds routinely
+    have p50 ~ 20 tiles/splat with a max in the thousands) force M to
+    the max and the [P, M] intermediates toward tens of GB.  This is
+    the TPU-static analogue of the reference's exact allocation
+    (InclusiveSum over tiles_touched + duplicateWithKeys,
+    `rasterizer_impl.cu:343-360`):
+
+      1. exclusive scan of tiles_touched -> per-splat start offsets;
+      2. scatter each splat id at its start into a [cap] owner array
+         (starts are strictly increasing, so positions are unique) and
+         recover per-instance owners with a running max;
+      3. rank = slot - start indexes the splat's tile rect row-major —
+         identical slot enumeration (and exact circle-vs-tile cull) to
+         the dense path, so downstream sort/range logic is unchanged.
+
+    Instances beyond `cap` are dropped and counted in dropped_rect
+    (the budget-overflow counter recalibration watches).
+
+    Returns (key [cap] u32, gauss_id [cap] i32, num_instances,
+    dropped_rect, depth_bits) — flat, sort-ready.
+    """
+    gx, gy = grid
+    num_tiles = gx * gy
+    P = proj.valid.shape[0]
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = 32 - tile_bits
+    assert depth_bits >= 18, (num_tiles, "tile grid too large for u32 key")
+
+    t_p = jnp.where(proj.valid, proj.tiles_touched, 0)         # [P]
+    offs = jnp.cumsum(t_p) - t_p                               # exclusive
+    total = offs[-1] + t_p[-1]
+    dropped_rect = jnp.maximum(total - cap, 0)
+
+    # owner recovery: splat ids at their start offsets, running max.
+    # Positions are unique among t_p > 0 splats (offsets strictly grow);
+    # out-of-cap starts fall off via mode="drop".
+    p_iota = jnp.arange(P, dtype=jnp.int32)
+    has = t_p > 0
+    own0 = jnp.full(cap, -1, jnp.int32).at[
+        jnp.where(has, offs, cap)].max(
+        jnp.where(has, p_iota, -1), mode="drop")
+    owner = jax.lax.associative_scan(jnp.maximum, own0)        # [cap]
+
+    # single [P, 9] pack -> ONE row gather (gathers cost per ROW on TPU;
+    # all integer fields are < 2^24 so the f32 lanes are exact)
+    rw = jnp.maximum(
+        proj.rect_max[:, 0] - proj.rect_min[:, 0], 1).astype(jnp.float32)
+    pack = jnp.stack([
+        proj.rect_min[:, 0].astype(jnp.float32),
+        proj.rect_min[:, 1].astype(jnp.float32),
+        rw,
+        proj.xy[:, 0], proj.xy[:, 1],
+        proj.cut_radius,
+        proj.depth,
+        offs.astype(jnp.float32),
+        t_p.astype(jnp.float32),
+    ], axis=1)                                                 # [P, 9]
+    g = jnp.take(pack, jnp.maximum(owner, 0), axis=0)          # [cap, 9]
+
+    i_iota = jnp.arange(cap, dtype=jnp.int32)
+    rank = i_iota - g[:, 7].astype(jnp.int32)
+    t_own = g[:, 8].astype(jnp.int32)
+    ok = (owner >= 0) & (rank >= 0) & (rank < t_own)
+
+    # rank // rw, rank % rw via float reciprocal (same trick/domain as
+    # the dense path: exact while rank + 0.5 is ulp-clear of a multiple
+    # of rw, guaranteed for rank < 2^20 / rw)
+    q = jnp.floor((rank.astype(jnp.float32) + 0.5) / g[:, 2]
+                  ).astype(jnp.int32)
+    rw_i = g[:, 2].astype(jnp.int32)
+    tx = g[:, 0].astype(jnp.int32) + rank - q * rw_i
+    ty = g[:, 1].astype(jnp.int32) + q
+
+    # exact circle-vs-tile cull, as in the dense expansion
+    px = jnp.clip(g[:, 3], (tx * TILE).astype(jnp.float32),
+                  (tx * TILE + (TILE - 1)).astype(jnp.float32))
+    py = jnp.clip(g[:, 4], (ty * TILE).astype(jnp.float32),
+                  (ty * TILE + (TILE - 1)).astype(jnp.float32))
+    dx = g[:, 3] - px
+    dy = g[:, 4] - py
+    ok = ok & (dx * dx + dy * dy <= g[:, 5] * g[:, 5])
+
+    num_instances = jnp.sum(ok.astype(jnp.int32))
+    tile_id = jnp.where(ok, ty * gx + tx, num_tiles)
+    dbits = jax.lax.bitcast_convert_type(
+        g[:, 6], jnp.uint32) >> (31 - depth_bits)
+    key = ((tile_id.astype(jnp.uint32) << depth_bits)
+           | (dbits & jnp.uint32((1 << depth_bits) - 1)))
+    key = jnp.where(ok, key, jnp.uint32(0xFFFFFFFF))
+    return (key, jnp.maximum(owner, 0), num_instances, dropped_rect,
+            depth_bits)
+
+
 def bin_splats(
     proj: ProjectedSplats,
     grid: tuple[int, int],
@@ -125,6 +228,7 @@ def bin_splats(
     grad_cap: int | None = None,
     stream: bool = False,
     stream_cap: int | None = None,
+    expansion: str = "dense",
 ) -> TileBins:
     """Build the dense per-tile splat lists.
 
@@ -142,6 +246,11 @@ def bin_splats(
       stream_cap: stream prefix length (default T*K — exact whenever
         dropped_tile == 0; overflow beyond it is counted in
         dropped_stream and those tiles render from clamped windows).
+      expansion: "dense" ([P, M] slot matrix — fastest when every
+        splat's tile footprint is small) or "offset" (exclusive-scan
+        expansion, `expand_instance_keys_offset` — instance-budget-
+        bound, the only feasible mode for heavy-tailed footprints; M
+        is then ignored).  `ops.autobudget.derive` picks per scene.
     """
     gx, gy = grid
     num_tiles = gx * gy
@@ -149,10 +258,16 @@ def bin_splats(
     M = max_tiles_per_gaussian
     K = max_per_tile
 
-    key, gauss_id, num_instances, dropped_rect, depth_bits = (
-        expand_instance_keys(proj, grid, M))
+    if expansion == "offset":
+        ecap = stream_cap if stream_cap is not None else num_tiles * K
+        key_flat, gid_flat, num_instances, dropped_rect, depth_bits = (
+            expand_instance_keys_offset(proj, grid, ecap))
+    else:
+        key, gauss_id, num_instances, dropped_rect, depth_bits = (
+            expand_instance_keys(proj, grid, M))
+        key_flat, gid_flat = key.reshape(-1), gauss_id.reshape(-1)
     key_sorted, id_sorted = jax.lax.sort(
-        (key.reshape(-1), gauss_id.reshape(-1)), dimension=0, num_keys=1,
+        (key_flat, gid_flat), dimension=0, num_keys=1,
         is_stable=False)
     tile_sorted = (key_sorted >> depth_bits).astype(jnp.int32)
 
@@ -201,7 +316,7 @@ def bin_splats(
         # Real instances sit in the sorted prefix [0, num_instances); map
         # each to its dense [T, K] slot with pure index math (no scatter):
         # position j in tile t sits at depth rank j - starts[t].
-        cap = min(grad_cap, P * M)
+        cap = min(grad_cap, id_sorted.shape[0])
         tile_c = tile_sorted[:cap]
         starts_ext = jnp.append(starts, boundaries[-1])
         k_in_tile = jnp.arange(cap, dtype=jnp.int32) - jnp.take(

@@ -60,6 +60,12 @@ LOG_T_STOP = -9.210340371976184  # log(1e-4)
 MOMENT_BWD = False
 # Forward Σ_k la as a [1,C]x[C,P2] MXU matmul vs a VPU sublane reduce.
 MXU_SUMLA = True
+# Prefix-sum tri-matmuls with bf16 operands + f32 MXU accumulation
+# (full-rate native mode) instead of the multi-pass f32 emulation —
+# exact single pass for the 0/1 trigger scans, hi/lo split (two
+# passes, ~2^-17 per-term relative error) for logT/gradient scans.
+# See `_cumsum0`.  A/B: `tools/bench_probe.py --absweep BF16_SCAN=1,0`.
+BF16_SCAN = True
 # Gaussian exponent as a [C,6]x[6,P2] moment matmul (see
 # `_chunk_quantities`) vs the per-element VPU quadratic chain.
 # Measured LOSER on v5e (41.9 vs 38.4 ms/step): the kernels are
@@ -78,13 +84,34 @@ TRIG_MIN = False
 
 
 
-def _cumsum0(x):
+def _cumsum0(x, exact01: bool = False):
     """Inclusive prefix sum along axis 0 as a lower-triangular matmul
     (Pallas TPU has no cumsum primitive; an [C, C] tril x [C, P2] MXU
-    matmul is the fast in-kernel equivalent)."""
+    matmul is the fast in-kernel equivalent).
+
+    With BF16_SCAN the operands feed the MXU as bf16 with f32
+    accumulation — the MXU's native full-rate mode vs the multi-pass
+    f32 emulation.  `exact01=True` marks inputs drawn from {0, 1}
+    (trigger indicators): one bf16 pass is then EXACT (0/1 and the
+    tril mask are bf16-representable; accumulation is f32).  Otherwise
+    a hi/lo split — x = bf16(x) + bf16(x - hi) — runs two full-rate
+    passes summed in f32, bounding the relative error per term at
+    ~2^-17; the compositor's prefix sums accumulate |logT| ≤ 9.2
+    (integration stops at T < 1e-4), so the absolute logT error stays
+    below ~1e-4, orders under the f32 parity-test tolerances."""
     C = x.shape[0]
     ii = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    if BF16_SCAN:
+        L = (jj <= ii).astype(jnp.bfloat16)
+        dot = lambda a: jax.lax.dot_general(
+            L, a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if exact01:
+            return dot(x.astype(jnp.bfloat16))
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dot(hi) + dot(lo)
     L = (jj <= ii).astype(jnp.float32)
     return jax.lax.dot_general(
         L, x.astype(jnp.float32), (((1,), (0,)), ((), ())),
@@ -206,7 +233,7 @@ def _fwd_chunk_math(data_ref, tb, c, C, F, count, ox, oy, plx, ply, V,
         applied = valid & (k_iota < first_trig)
         any_trig = (first_trig < C)[0]
     else:
-        trig_cum = _cumsum0(trigger.astype(jnp.float32))
+        trig_cum = _cumsum0(trigger.astype(jnp.float32), exact01=True)
         before = (trig_cum - trigger.astype(jnp.float32)) > 0.5
         stopped_before = before if stopped is None else stopped | before
         applied = valid & ~stopped_before & ~trigger
@@ -380,7 +407,7 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
             if stopped is not None:
                 applied = applied & ~stopped
         else:
-            trig_cum = _cumsum0(trigger.astype(jnp.float32))
+            trig_cum = _cumsum0(trigger.astype(jnp.float32), exact01=True)
             before = (trig_cum - trigger.astype(jnp.float32)) > 0.5
             stopped_before = before if stopped is None \
                 else stopped | before

@@ -58,6 +58,11 @@ class RasterizeConfig:
     # calibrated value each member's gather/DMA/scatter bytes shrink
     # ~tile_shards-fold; overflow → stats["dropped_stream_shard"].
     stream_cap_local: int | None = None
+    # Instance expansion: "dense" ([P, M] slot matrix) or "offset"
+    # (exclusive-scan over tiles_touched — instance-budget-bound; the
+    # mode for heavy-tailed tile footprints where any M big enough to
+    # be lossless makes [P, M] explode).  See `binning.bin_splats`.
+    expansion: str = "dense"
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -160,7 +165,9 @@ def rasterize(
     bins = binning.bin_splats(
         proj, cfg.grid, cfg.max_tiles_per_gaussian, cfg.max_per_tile,
         grad_cap=cfg.max_grad_instances, stream=stream,
-        stream_cap=cfg.stream_cap if stream else None)
+        stream_cap=cfg.stream_cap
+        if (stream or cfg.expansion == "offset") else None,
+        expansion=cfg.expansion)
     # Indices are integer routing decisions, never differentiated.
     bins = jax.tree.map(jax.lax.stop_gradient, bins)
 

@@ -118,3 +118,78 @@ def test_single_chunk_mode_for_pallas_backend():
                          num_instances=550_000)
     cfg_b = ab.derive(base, big, exact=True)
     assert cfg_b.chunk == 96 and cfg_b.max_per_tile % 96 == 0
+
+
+def _project(state, camera):
+    attrs = G.render_attributes(state.params)
+    return projection.preprocess(
+        attrs["means3d"], attrs["scales"], attrs["rotations"],
+        attrs["opacities"], state.alive,
+        camera["w2c"], camera["full_proj"], camera["campos"], W, H,
+        camera["focal"][0], camera["focal"][1],
+        camera["tan_fov"][0], camera["tan_fov"][1],
+        colors_precomp=jnp.zeros((state.alive.shape[0], 3)))
+
+
+def test_offset_expansion_matches_dense():
+    """Offset (exclusive-scan) expansion reproduces the dense [P, M]
+    expansion's per-tile lists exactly (sets per tile — quantized-depth
+    ties may permute under the unstable sort)."""
+    state, camera = make_scene(seed=5)
+    proj = _project(state, camera)
+    grid = projection.grid_size(W, H)
+    big = int(jnp.max(jnp.where(proj.valid, proj.tiles_touched, 0))) + 8
+    dense = binning.bin_splats(proj, grid, big, 256)
+    assert int(dense.dropped_rect) == 0 and int(dense.dropped_tile) == 0
+    cap = int(jnp.sum(jnp.where(proj.valid, proj.tiles_touched, 0))) + 32
+    off = binning.bin_splats(proj, grid, 4, 256, expansion="offset",
+                             stream_cap=cap)
+    assert int(off.dropped_rect) == 0 and int(off.dropped_tile) == 0
+    assert int(off.num_instances) == int(dense.num_instances)
+    np.testing.assert_array_equal(np.asarray(off.counts),
+                                  np.asarray(dense.counts))
+    di, dm = np.asarray(dense.idx), np.asarray(dense.mask)
+    oi, om = np.asarray(off.idx), np.asarray(off.mask)
+    np.testing.assert_array_equal(om, dm)
+    for t in range(di.shape[0]):
+        assert sorted(di[t][dm[t]]) == sorted(oi[t][om[t]]), t
+
+
+def test_offset_expansion_overflow_counted():
+    """Instances beyond the offset cap are counted in dropped_rect."""
+    state, camera = make_scene(seed=6)
+    proj = _project(state, camera)
+    grid = projection.grid_size(W, H)
+    total = int(jnp.sum(jnp.where(proj.valid, proj.tiles_touched, 0)))
+    cap = max(total // 2, 1)
+    off = binning.bin_splats(proj, grid, 4, 256, expansion="offset",
+                             stream_cap=cap)
+    assert int(off.dropped_rect) == total - cap
+
+
+def test_derive_picks_offset_for_heavy_tails():
+    """A scene with a splat touching thousands of tiles must calibrate
+    to the offset expansion (the dense [P, M] matrix would be ~GBs) and
+    render losslessly through it end to end."""
+    state, camera = make_scene(seed=7)
+    # one giant splat: scale ~ scene size
+    p = state.params
+    xyz = np.asarray(p.xyz).copy()
+    sc = np.asarray(p.scaling).copy()
+    sc[0] = np.log(1.5)
+    xyz[0] = [0.0, 0.0, 0.0]
+    state = state.replace(params=p.replace(
+        xyz=jnp.asarray(xyz), scaling=jnp.asarray(sc)))
+    cfg0 = RasterizeConfig(width=W, height=H, chunk=16)
+    cfg = ab.calibrate_from_params(state.params, state.alive, [camera],
+                                   cfg0, exact=True)
+    stats = ab.measure(*[G.render_attributes(state.params)[k] for k in
+                         ("means3d", "scales", "rotations", "opacities")],
+                       state.alive, [camera], W, H)
+    if stats.max_tiles > 64:
+        assert cfg.expansion == "offset"
+    res = R.render_view(state.params, state.alive, camera, jnp.zeros(3),
+                        cfg, active_sh_degree=0,
+                        compute_pseudo_normal=False)
+    st = {k: int(v) for k, v in res["stats"].items()}
+    assert not ab.needs_recalibration(st), st
