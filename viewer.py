@@ -48,13 +48,25 @@ _CLIENT_HTML = """<!doctype html><html><body style="margin:0;background:#111">
 <img id=v width=100% style="image-rendering:pixelated">
 <div id=s style="color:#0f0;font:12px monospace;position:fixed;top:4px;left:4px"></div>
 <script>
-let th=0.5, ph=0.3, r=2.5, li=0, drag=false, lx, ly, mode="render", busy=false;
-async function frame(){ if(busy) return; busy=true;
- const t0=performance.now();
- const res=await fetch(`/render?theta=${th}&phi=${ph}&radius=${r}&mode=${mode}&light=${li}`);
- const blob=await res.blob(); v.src=URL.createObjectURL(blob);
- s.textContent=`${(performance.now()-t0).toFixed(0)} ms  θ=${th.toFixed(2)} φ=${ph.toFixed(2)} r=${r.toFixed(2)} [${mode}] (keys: m=mode, l/L=light, wheel=zoom)`;
- busy=false; }
+// Pipelined streaming client: keep up to MAXQ requests in flight so
+// frame N+1 renders on the device while frame N is PNG-encoding and
+// in transit — the transport latency hides behind the render.  Frames
+// are sequence-numbered; stale responses (an earlier frame finishing
+// after a later one) are dropped instead of displayed.
+let th=0.5, ph=0.3, r=2.5, li=0, drag=false, lx, ly, mode="render";
+let inflight=0, MAXQ=2, seq=0, shown=-1, done=[];
+async function frame(){ if(inflight>=MAXQ) return; inflight++;
+ const my=seq++;
+ try{
+  const res=await fetch(`/render?theta=${th}&phi=${ph}&radius=${r}&mode=${mode}&light=${li}`);
+  const blob=await res.blob();
+  if(my>shown){ shown=my; v.src=URL.createObjectURL(blob);
+   const now=performance.now(); done.push(now); while(done.length>24) done.shift();
+   const fps=done.length>1 ? 1000*(done.length-1)/(done[done.length-1]-done[0]) : 0;
+   s.textContent=`${fps.toFixed(1)} fps (pipelined x${MAXQ})  render ${res.headers.get('X-Render-Ms')} ms  θ=${th.toFixed(2)} φ=${ph.toFixed(2)} r=${r.toFixed(2)} [${mode}] (keys: m=mode, l/L=light, wheel=zoom)`;
+  }
+ } finally { inflight--; }
+}
 v.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY};
 window.onmouseup=()=>drag=false;
 window.onmousemove=e=>{if(!drag)return; th+=(e.clientX-lx)*0.01; ph+=(e.clientY-ly)*0.01;
@@ -62,7 +74,7 @@ window.onmousemove=e=>{if(!drag)return; th+=(e.clientX-lx)*0.01; ph+=(e.clientY-
 window.onwheel=e=>{r*=e.deltaY>0?1.1:0.9; frame();};
 window.onkeydown=async e=>{ if(e.key=='l'){li+=0.2;frame();} if(e.key=='L'){li-=0.2;frame();} if(e.key=='m'){ const ms=await (await fetch('/modes')).json();
  mode=ms[(ms.indexOf(mode)+1)%ms.length]; frame(); }};
-frame(); setInterval(frame, 250);
+frame(); setInterval(frame, 25);
 </script></body></html>"""
 
 
@@ -193,24 +205,35 @@ def main() -> None:
             return R.render_view(st.params, st.alive, camera, bg, cfg,
                                  compute_pseudo_normal=True)
 
+    import threading
+    dispatch_lock = threading.Lock()
+
     def render_frame(cam, mode="render", light=0.0):
+        """Dispatch one frame; returns the DEVICE u8 image (async).
+
+        Only the dispatch is serialized (`dispatch_lock`): the caller's
+        device→host transfer and PNG encode run outside it, so with a
+        threaded server the next frame's render overlaps this frame's
+        encode + transport — the pipelining the streaming client relies
+        on."""
         camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
-        now = (time.time() - clock["t0"]) * 1000.0
-        dt = now - clock["last"]
-        clock["last"] = now
-        res = frame_fn(camera, jnp.float32(now), jnp.float32(dt),
-                       jnp.float32(light))
-        img = res.get(mode, res["render"])
-        # display transforms + u8 quantization ON DEVICE: transferring
-        # 800² f32 through the host link is 4x the bytes of u8 and
-        # dominated the frame time
-        if img.ndim == 2:
-            img = jnp.repeat(img[..., None], 3, -1)
-            img = img / jnp.maximum(jnp.max(img), 1e-6)
-        if "normal" in mode:
-            img = img * 0.5 + 0.5
-        img = (jnp.clip(img[..., :3], 0, 1) * 255).astype(jnp.uint8)
-        return np.asarray(img) / 255.0, res
+        with dispatch_lock:
+            now = (time.time() - clock["t0"]) * 1000.0
+            dt = now - clock["last"]
+            clock["last"] = now
+            res = frame_fn(camera, jnp.float32(now), jnp.float32(dt),
+                           jnp.float32(light))
+            img = res.get(mode, res["render"])
+            # display transforms + u8 quantization ON DEVICE:
+            # transferring 800² f32 through the host link is 4x the
+            # bytes of u8 and dominated the frame time
+            if img.ndim == 2:
+                img = jnp.repeat(img[..., None], 3, -1)
+                img = img / jnp.maximum(jnp.max(img), 1e-6)
+            if "normal" in mode:
+                img = img * 0.5 + 0.5
+            img = (jnp.clip(img[..., :3], 0, 1) * 255).astype(jnp.uint8)
+        return img, res
 
     # warm up / compile
     t0 = time.time()
@@ -234,7 +257,8 @@ def main() -> None:
                 light=2 * np.pi * i / args.turntable)
             jax.block_until_ready(img)
             times.append(time.time() - t0)
-            save_image(os.path.join(args.output, f"frame_{i:04d}.png"), img)
+            save_image(os.path.join(args.output, f"frame_{i:04d}.png"),
+                       np.asarray(img) / 255.0)
         fps = 1.0 / float(np.median(times))
         print(f"turntable: {args.turntable} frames, median "
               f"{np.median(times) * 1000:.1f} ms/frame = {fps:.1f} fps",
@@ -259,7 +283,7 @@ def main() -> None:
               f"{1000.0 / dev_ms:.1f} fps", flush=True)
         return
 
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
     from PIL import Image
 
@@ -294,17 +318,20 @@ def main() -> None:
             mode = q.get("mode", ["render"])[0]
             t0 = time.time()
             img, _ = render_frame(cam, mode, light=get("light", 0.0))
+            arr = np.asarray(img)  # device→host sync, outside the lock
             ms = (time.time() - t0) * 1000
             buf = io.BytesIO()
-            Image.fromarray((img * 255).astype(np.uint8)).save(
-                buf, format="PNG")
+            Image.fromarray(arr).save(buf, format="PNG")
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("X-Render-Ms", f"{ms:.1f}")
             self.end_headers()
             self.wfile.write(buf.getvalue())
 
-    srv = HTTPServer(("127.0.0.1", args.port), Handler)
+    # Threaded: a second /render parses + encodes while the first is on
+    # the device (dispatch itself is serialized by `dispatch_lock`) —
+    # required for the client's pipelining to hide transport latency.
+    srv = ThreadingHTTPServer(("127.0.0.1", args.port), Handler)
     print(f"serving on http://127.0.0.1:{args.port}/", flush=True)
     srv.serve_forever()
 
