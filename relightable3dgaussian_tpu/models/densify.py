@@ -121,6 +121,15 @@ def densify_and_prune(
     if max_screen_size:
         prune = prune | (state.max_radii2d > max_screen_size) \
             | (max_scale > cfg.prune_big_ws * scene_extent)
+    # Non-finite splats are dead weight (projection culls NaNs, so they
+    # render as nothing) and poison any split/clone that copies them —
+    # prune them and report the count (`pruned_nonfinite`).
+    finite = (jnp.isfinite(p.xyz).all(-1) & jnp.isfinite(p.scaling).all(-1)
+              & jnp.isfinite(p.rotation).all(-1)
+              & jnp.isfinite(p.opacity).all(-1))
+    prune = prune | ~finite
+    sel_clone = sel_clone & finite
+    sel_split = sel_split & finite
     alive_after = state.alive & ~prune & ~sel_split
 
     # --- requests: clones first, then split copies (reference order) ---
@@ -205,6 +214,7 @@ def densify_and_prune(
         "num_pruned": jnp.sum(state.alive & prune),
         "num_alive": jnp.sum(new_alive),
         "overflow": jnp.maximum(num_req - num_free, 0),
+        "pruned_nonfinite": jnp.sum(state.alive & ~finite),
     }
     return new_state, opt_state, info
 

@@ -61,11 +61,15 @@ MOMENT_BWD = False
 # Forward Σ_k la as a [1,C]x[C,P2] MXU matmul vs a VPU sublane reduce.
 MXU_SUMLA = True
 # Prefix-sum tri-matmuls with bf16 operands + f32 MXU accumulation
-# (full-rate native mode) instead of the multi-pass f32 emulation —
-# exact single pass for the 0/1 trigger scans, hi/lo split (two
-# passes, ~2^-17 per-term relative error) for logT/gradient scans.
-# See `_cumsum0`.  A/B: `tools/bench_probe.py --absweep BF16_SCAN=1,0`.
-BF16_SCAN = True
+# instead of f32 operands — exact single pass for the 0/1 trigger
+# scans, hi/lo split (two passes, ~2^-17 per-term relative error) for
+# logT/gradient scans.  Measured LOSER on v5e (38.2 vs 36.8 ms/step,
+# in-process A/B at 800²/K=288 single-chunk): the [288, 288] x
+# [288, 256] scans are too small to be MXU-pass-bound, so the split's
+# extra pass + conversions cost more than the f32 passes saved.  Kept
+# (tested) as the A/B harness:
+# `tools/bench_probe.py --absweep BF16_SCAN=1,0`.
+BF16_SCAN = False
 # Gaussian exponent as a [C,6]x[6,P2] moment matmul (see
 # `_chunk_quantities`) vs the per-element VPU quadratic chain.
 # Measured LOSER on v5e (41.9 vs 38.4 ms/step): the kernels are

@@ -101,4 +101,14 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
         base_color="base_color", roughness="roughness", metallic="metallic",
         incidents_dc="incidents_dc", incidents_rest="incidents_rest",
         visibility_dc="visibility_dc", visibility_rest="visibility_rest")
-    return optax.multi_transform(transforms, labels)
+    # Skip (don't apply) any step whose gradients are non-finite: one
+    # bad step would otherwise poison the Adam moments permanently —
+    # observed in a full-recipe run where a post-opacity-reset step
+    # NaN'd and contaminated every parameter.  The torch reference
+    # survives the same event only by luck of eager isolation; here the
+    # skip is counted (trainer metric `notfinite_skips`) so a
+    # persistent source still surfaces, and after 100 consecutive bad
+    # steps the wrapper stops masking by design.
+    return optax.apply_if_finite(
+        optax.multi_transform(transforms, labels),
+        max_consecutive_errors=100)

@@ -116,6 +116,8 @@ def train_step(
     metrics = dict(aux["tb"])
     metrics["num_alive"] = jnp.sum(gs.alive)
     metrics.update({f"binning/{k}": v for k, v in aux["stats"].items()})
+    if hasattr(new_opt_state, "total_notfinite"):
+        metrics["notfinite_skips"] = new_opt_state.total_notfinite
     new_state = TrainState(
         gaussians=new_gaussians,
         opt_state=new_opt_state,
