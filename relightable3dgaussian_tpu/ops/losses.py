@@ -111,6 +111,79 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     return jnp.mean(ssim_map)
 
 
+# ---- row-partial losses (sharded pixel loss for the TP path) ----------
+#
+# Each mesh member evaluates the GLOBAL loss restricted to a slice of
+# pixel rows [r0, r0+rows); summing the partials over the mesh axis
+# (psum) reassembles the exact full-image term, so per-member pixel-loss
+# FLOPs shrink with the mesh (parallel/render.py `make_tp_train_step`).
+# `r0` may be a traced value (lax.axis_index); `rows` is static.  Images
+# must be zero-padded to `rows * nshards` rows by the caller so the row
+# slices never clamp (`pad_rows`).
+
+def pad_rows(x: jnp.ndarray, total_rows: int) -> jnp.ndarray:
+    """Zero-pad [H, ...] to [total_rows, ...] along axis 0."""
+    return jnp.pad(
+        x, ((0, total_rows - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+
+def _slice_rows(x: jnp.ndarray, r0, rows: int) -> jnp.ndarray:
+    return jax.lax.dynamic_slice_in_dim(x, r0, rows, axis=0)
+
+
+def l1_rows_sum(a_pad: jnp.ndarray, b_pad: jnp.ndarray,
+                r0, rows: int) -> jnp.ndarray:
+    """Σ |a − b| over pixel rows [r0, r0+rows) of zero-row-padded
+    images (padded rows contribute 0 since both operands pad to 0)."""
+    return jnp.sum(jnp.abs(_slice_rows(a_pad, r0, rows)
+                           - _slice_rows(b_pad, r0, rows)))
+
+
+def sq_err_rows_sum(a_pad: jnp.ndarray, b_pad: jnp.ndarray,
+                    r0, rows: int) -> jnp.ndarray:
+    """Σ (a − b)² over pixel rows [r0, r0+rows) (for a psum'd PSNR)."""
+    d = _slice_rows(a_pad, r0, rows) - _slice_rows(b_pad, r0, rows)
+    return jnp.sum(d * d)
+
+
+def ssim_rows_sum(img1: jnp.ndarray, img2: jnp.ndarray, r0, rows: int,
+                  total_rows: int, window_size: int = 11,
+                  sigma: float = 1.5) -> jnp.ndarray:
+    """Σ of the GLOBAL 'same'-padded ssim map over map rows
+    [r0, r0+rows).
+
+    The row blur uses a dynamic row-slice of the [H, H] Toeplitz band
+    (zero-padded to `total_rows` so the slice never clamps), which keeps
+    the global border truncation exact regardless of which member owns
+    the border rows; rows ≥ H are masked out (an all-zero band row
+    would otherwise yield ssim = 1, not 0).  img1/img2 are the UNPADDED
+    [H, W, C] images.
+    """
+    H, W, C = img1.shape
+    k = _gaussian_window(window_size, sigma)
+    stack = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=-1)
+    Bh = jnp.concatenate(
+        [_band_matrix(H, k), jnp.zeros((total_rows - H, H), jnp.float32)])
+    Bh_rows = jax.lax.dynamic_slice(Bh, (r0, 0), (rows, H))
+    x = jnp.dot(Bh_rows, stack.reshape(H, W * 5 * C),
+                preferred_element_type=jnp.float32).reshape(rows, W, 5 * C)
+    Bw = _band_matrix(W, k)
+    blurred = jnp.einsum("vw,hwc->hvc", Bw, x,
+                         preferred_element_type=jnp.float32)
+    mu1 = blurred[..., 0:C]
+    mu2 = blurred[..., C:2 * C]
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = blurred[..., 2 * C:3 * C] - mu1_sq
+    s2 = blurred[..., 3 * C:4 * C] - mu2_sq
+    s12 = blurred[..., 4 * C:5 * C] - mu12
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    valid = ((r0 + jnp.arange(rows)) < H).astype(ssim_map.dtype)
+    return jnp.sum(ssim_map * valid[:, None, None])
+
+
 def image_gradient_mag(data: jnp.ndarray) -> jnp.ndarray:
     """|Sobel_x| + |Sobel_y| of a single-channel [H, W] image with 'same'
     zero padding (reference `cal_gradient`, `loss_utils.py:66-84`)."""

@@ -209,6 +209,7 @@ def make_tp_train_step(
     loss_cfg: R.LossConfig,
     sh_deg: int = 3,
     reshard: str = "route",
+    shard_loss: bool = True,
 ):
     """Training step with data-parallel cameras x Gaussian/tile-sharded
     rendering.  Parameter gradients: psum over the model axis (disjoint
@@ -216,12 +217,34 @@ def make_tp_train_step(
 
     reshard: "route" = instance all-to-all (memory/bandwidth scale with
     the mesh); "gather" = all_gather replication (round-1 stand-in, kept
-    as oracle)."""
+    as oracle).
+
+    shard_loss: each member evaluates L1/D-SSIM only on its 1/S slice of
+    pixel rows (row-partial sums, `ops.losses.*_rows_sum`) and the
+    partials psum to the exact global loss — per-member pixel-loss FLOPs
+    shrink with the mesh instead of every member re-computing the
+    whole-image loss on the gathered render.  Falls back to the
+    replicated loss when loss terms beyond L1/D-SSIM are enabled (the
+    row-partial decomposition covers only the pixel-mean terms)."""
+    import math
+
+    from ..ops import losses as L
+
     ndata = mesh.shape["data"]
     ntile = mesh.shape["tile"]
+    use_sharded_loss = shard_loss and all(
+        getattr(loss_cfg, f) == 0 for f in (
+            "lambda_mask_entropy", "lambda_normal_render_depth",
+            "lambda_depth", "lambda_normal_mvs_depth"))
+    rows = math.ceil(cfg.height / ntile)
+    Hp = rows * ntile
+    denom = cfg.height * cfg.width * 3
+    lam = loss_cfg.lambda_dssim
 
     def shard_fn(state: TrainState, cameras, gt_images, bg):
         gs = state.gaussians
+        my = jax.lax.axis_index("tile")
+        r0 = my * rows
 
         def local_loss(p):
             def one(cam_gt):
@@ -234,22 +257,45 @@ def make_tp_train_step(
                     res = render_point_sharded(
                         p, gs.alive, cam, bg, cfg, "tile", ntile,
                         active_sh_degree=sh_deg)
+                if use_sharded_loss:
+                    img = res["render"]
+                    img_p = L.pad_rows(img, Hp)
+                    gt_p = L.pad_rows(gt, Hp)
+                    l1s = L.l1_rows_sum(img_p, gt_p, r0, rows)
+                    ssims = L.ssim_rows_sum(img, gt, r0, rows, Hp)
+                    sqs = L.sq_err_rows_sum(img_p, gt_p, r0, rows)
+                    # psum(partial) = (1-λ)·L1 + λ·(1 − SSIM)
+                    partial = ((1.0 - lam) * l1s / denom
+                               + lam * (1.0 / ntile - ssims / denom))
+                    return partial, {"sq_sum": sqs}
                 loss, tb = R.calculate_loss(res, {"image": gt}, loss_cfg)
                 return loss, tb
-            losses, tbs = jax.lax.map(one, (cameras, gt_images))
-            return jnp.mean(losses), jax.tree.map(jnp.mean, tbs)
+            losses_, tbs = jax.lax.map(one, (cameras, gt_images))
+            return jnp.mean(losses_), jax.tree.map(jnp.mean, tbs)
 
         (loss, tb), grads = jax.value_and_grad(
             local_loss, has_aux=True)(gs.params)
-        # Each member's grad rows cover only its own P/S slice, but the
-        # replicated loss on the gathered image scales every cotangent
-        # by S (all_gather transpose = psum_scatter of S identical
-        # cotangents), so the MEAN over the model axis reassembles the
-        # exact full gradient; then the batch mean over data.
-        grads = jax.tree.map(
-            lambda g: jax.lax.pmean(jax.lax.pmean(g, "tile"), "data"),
-            grads)
-        loss = jax.lax.pmean(loss, "data")
+        if use_sharded_loss:
+            # row-partial loss: cotangents over the model axis are
+            # disjoint partials, so grads SUM over "tile"
+            grads = jax.tree.map(
+                lambda g: jax.lax.pmean(jax.lax.psum(g, "tile"), "data"),
+                grads)
+            loss = jax.lax.pmean(jax.lax.psum(loss, "tile"), "data")
+            mse = jax.lax.psum(tb["sq_sum"], "tile") / denom
+            tb = {"psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))}
+        else:
+            # Each member's grad rows cover only its own P/S slice, but
+            # the replicated loss on the gathered image scales every
+            # cotangent by S (all_gather transpose = psum_scatter of S
+            # identical cotangents), so the MEAN over the model axis
+            # reassembles the exact full gradient; then the batch mean
+            # over data.
+            grads = jax.tree.map(
+                lambda g: jax.lax.pmean(
+                    jax.lax.pmean(g, "tile"), "data"),
+                grads)
+            loss = jax.lax.pmean(loss, "data")
 
         alive_b = gs.alive
         grads = jax.tree.map(

@@ -151,9 +151,12 @@ def test_routed_render_matches_unsharded():
                                np.asarray(ref["final_t"]), atol=1e-5)
 
 
-def test_point_sharded_tp_step_matches_single_device():
+@pytest.mark.parametrize("shard_loss", [False, True])
+def test_point_sharded_tp_step_matches_single_device(shard_loss):
     """Gaussian-sharded (TP) rendering: parameter updates match the
-    single-device step bit-for-nearly-bit."""
+    single-device step bit-for-nearly-bit — with the replicated
+    whole-image loss AND the row-sharded partial loss (each member
+    computes L1/D-SSIM on its 1/S pixel-row slice; psum reassembles)."""
     from relightable3dgaussian_tpu.parallel import render as prender
 
     st, camera = setup(P=64, capacity=128)
@@ -173,7 +176,7 @@ def test_point_sharded_tp_step_matches_single_device():
                           max_per_tile=32, chunk=8)
     tstate, tx = T.init_train_state(st, opt_mod.OptimConfig())
     step = prender.make_tp_train_step(tx, mesh, cfg, R.LossConfig(),
-                                      sh_deg=0)
+                                      sh_deg=0, shard_loss=shard_loss)
     B = 2
     cameras = {k: jnp.stack([v] * B) for k, v in camera.items()}
     tstate_r = ptrain.replicate(tstate, mesh)
