@@ -265,6 +265,19 @@ class BudgetController:
         # Budgets only grow — an overflow means the measured sample
         # under-covers the live distribution, so never hand back slack.
         k = max(new.max_per_tile, old.max_per_tile)
+        # dropped_tile counts depth layers beyond K.  When K is already
+        # pinned (stream_k_max VMEM cap) no cfg change can reduce it —
+        # recalibrating anyway would re-jit every check (the derived
+        # stream_cap keeps creeping with densification) for zero
+        # benefit.  Keep the cfg and log the bounded, counted loss.
+        only_tile = (int(stats.get("dropped_tile", 0)) > 0 and all(
+            int(stats.get(c, 0)) == 0 for c in
+            ("dropped_rect", "dropped_stream", "dropped_grad")))
+        if only_tile and k == old.max_per_tile:
+            self.log(f"[autobudget] dropped_tile="
+                     f"{int(stats['dropped_tile'])} persists at the K="
+                     f"{k} cap; keeping cfg (no re-jit)")
+            return False
         # keep single-chunk mode aligned with the grown K
         chunk = k if new.chunk == new.max_per_tile else new.chunk
         self.cfg = dataclasses.replace(

@@ -193,3 +193,26 @@ def test_derive_picks_offset_for_heavy_tails():
                         compute_pseudo_normal=False)
     st = {k: int(v) for k, v in res["stats"].items()}
     assert not ab.needs_recalibration(st), st
+
+
+def test_controller_no_thrash_at_pinned_k():
+    """When the only firing counter is dropped_tile and K cannot grow,
+    the controller must NOT swap in a new config (each swap re-jits the
+    train step; observed thrashing every check during the rehearsal when
+    K pinned at the stream_k_max VMEM cap while densification kept
+    nudging the derived stream_cap)."""
+    state, camera = make_scene(seed=8)
+    cfg0 = RasterizeConfig(width=W, height=H, chunk=16)
+    ctl = ab.BudgetController.calibrated(
+        state.params, state.alive, [camera], cfg0, log=lambda m: None)
+    before = ctl.cfg
+    changed = ctl.check(state.params, state.alive,
+                        {"dropped_tile": 74, "dropped_rect": 0,
+                         "dropped_stream": 0, "dropped_grad": 0})
+    assert not changed and ctl.cfg == before
+    # but a counter the budget CAN address still recalibrates
+    # (dropped_stream -> cap growth path stays live)
+    changed2 = ctl.check(state.params, state.alive,
+                         {"dropped_tile": 0, "dropped_rect": 0,
+                          "dropped_stream": 10, "dropped_grad": 0})
+    assert ctl.recalibrations >= (1 if changed2 else 0)
