@@ -173,6 +173,10 @@ def main() -> None:
                f"psnr {metrics.get('psnr', 0):.2f} "
                f"alive {int(metrics.get('num_alive', 0))} "
                f"({time.time() - t_start:.0f}s)")
+        dens = {k.split("/", 1)[1]: int(v) for k, v in metrics.items()
+                if k.startswith("densify/") and int(v)}
+        if dens:
+            msg += f" densify{dens}"
         print(msg, flush=True)
         log.write(msg + "\n")
         log.flush()
