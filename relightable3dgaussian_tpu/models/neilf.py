@@ -206,7 +206,9 @@ def calculate_loss(
         tb["loss_depth"] = loss_depth
         loss = loss + cfg.lambda_depth * loss_depth
 
-    if cfg.lambda_mask_entropy > 0:
+    if cfg.lambda_mask_entropy > 0 and "mask" in gt:
+        # real-mask guard, as in models/render.py calculate_loss: the
+        # all-ones fallback would demand opacity 1 at background pixels
         le = losses.opacity_entropy(results["opacity"], mask, eps=1e-6)
         tb["loss_mask_entropy"] = le
         loss = loss + cfg.lambda_mask_entropy * le

@@ -161,7 +161,12 @@ def calculate_loss(
         tb["loss_depth"] = loss_depth
         loss = loss + cfg.lambda_depth * loss_depth
 
-    if cfg.lambda_mask_entropy > 0:
+    if cfg.lambda_mask_entropy > 0 and "mask" in gt:
+        # only with a REAL mask: the reference recipes enable this term
+        # solely on datasets with alpha (`render.py:132-140`); with the
+        # all-ones fallback it would push opacity -> 1 at EVERY pixel,
+        # background included, and fight the reconstruction loss
+        # (observed: rehearsal PSNR pinned ~14 dB until this guard)
         le = losses.opacity_entropy(results["opacity"], mask, eps=1e-6)
         tb["loss_mask_entropy"] = le
         loss = loss + cfg.lambda_mask_entropy * le

@@ -86,7 +86,10 @@ def test_full_loss_and_gradients(setup):
     st, camera, cfg, env, gamma = setup
     gt = {"image": jnp.asarray(
         np.random.default_rng(1).uniform(0, 1, (H, W, 3)).astype(
-            np.float32))}
+            np.float32)),
+          # mask entropy requires a REAL mask (maskless gt now skips
+          # the term instead of pushing opacity -> 1 everywhere)
+          "mask": jnp.ones((H, W), jnp.float32)}
     loss_cfg = LossConfig(
         lambda_pbr=1.0, lambda_light=0.01, lambda_base_color=0.005,
         lambda_base_color_smooth=0.006, lambda_metallic_smooth=0.002,
