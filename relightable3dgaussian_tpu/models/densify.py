@@ -48,6 +48,8 @@ def add_stats(
     normal_grad: jnp.ndarray,
     radii: jnp.ndarray,
     visible: jnp.ndarray,
+    width: int | None = None,
+    height: int | None = None,
 ) -> G.GaussianState:
     """Accumulate per-splat screen-gradient stats after a backward pass.
 
@@ -55,14 +57,42 @@ def add_stats(
     the xy screen-space gradient norm and the normal gradient norm are
     summed over iterations where the splat was visible.
 
+    Two unit conventions matter for threshold parity with the reference:
+
+    * The reference's viewspace gradient is expressed in **NDC** units —
+      its CUDA backward multiplies the pixel-space gradient by
+      `ddelx_dx = 0.5 * W` / `ddely_dy = 0.5 * H`
+      (`backward.cu:481-482,601-602`) before the densify threshold
+      0.0002 is applied.  Our `xy_offset` is added in *pixel*
+      coordinates (`ops/projection.py:123-124`), so the raw gradient is
+      a pixel-space gradient; pass `width`/`height` to apply the same
+      0.5·W / 0.5·H scaling (at 800² the difference is a factor of 400
+      in effective threshold — leaving it out under-densifies so badly
+      that training plateaus).
+
+    * The reference's normal trigger accumulates the norm of the
+      **normalized** gradient, `norm(F.normalize(grad, eps=1e-3))`
+      (`gaussian_model.py:1059-1061` with `normal_activation` from
+      `:30`).  That value is ≈1 for any visible splat whose normal
+      gradient exceeds ~1e-3 — against the 4e-6 threshold the trigger
+      effectively selects *every visible splat* whenever a normal loss
+      is active.  Quirk or not, it is the behavior the reference's
+      published quality comes from, so it is matched exactly here.
+
     Args:
-      xy_grad: [N, 2] d(loss)/d(screen xy) — from the rasterizer's
-        `xy_offset` zero input.
+      xy_grad: [N, 2] d(loss)/d(screen xy in pixels) — from the
+        rasterizer's `xy_offset` zero input.
       normal_grad: [N, 3] d(loss)/d(normal param).
       radii: [N] int32 current screen radii; visible: [N] bool.
+      width, height: image size for the pixel→NDC gradient scale; None
+        keeps raw pixel units (tests / legacy callers).
     """
+    if width is not None:
+        xy_grad = xy_grad * jnp.asarray(
+            [0.5 * width, 0.5 * (height if height is not None else width)],
+            xy_grad.dtype)
     gnorm = jnp.linalg.norm(xy_grad, axis=-1)
-    nnorm = jnp.linalg.norm(normal_grad, axis=-1)
+    nnorm = jnp.linalg.norm(tf.normalize(normal_grad, eps=1e-3), axis=-1)
     vis = visible & state.alive
     return state.replace(
         xyz_grad_accum=state.xyz_grad_accum + jnp.where(vis, gnorm, 0.0),
@@ -116,11 +146,23 @@ def densify_and_prune(
     sel_clone = state.alive & hot & small
     sel_split = state.alive & hot & ~small
 
-    # --- prune: transparent, huge-screen, huge-world, and split originals ---
+    # --- prune: transparent, huge-world, and split originals ---
+    # NOTE on the big-screen prune: the reference's
+    # `big_points_vs = max_radii2D > max_screen_size`
+    # (`gaussian_model.py:1036-1038`) NEVER fires in practice, because
+    # `densify_and_clone`/`densify_and_split` run first inside
+    # `densify_and_prune` and their `densification_postfix` zeroes the
+    # whole `max_radii2D` array (`gaussian_model.py:916`) before the
+    # prune reads it.  An earlier round here applied the screen prune
+    # literally and it wiped 37k→6k splats at the first post-reset
+    # round (accumulated radii > 20 px are common at 800²); matching
+    # the reference's *effective* behavior — world-size prune only —
+    # is what its published quality comes from.
     prune = opacity < cfg.min_opacity
+    prune_ws = jnp.zeros_like(prune)
     if max_screen_size:
-        prune = prune | (state.max_radii2d > max_screen_size) \
-            | (max_scale > cfg.prune_big_ws * scene_extent)
+        prune_ws = max_scale > cfg.prune_big_ws * scene_extent
+        prune = prune | prune_ws
     # Non-finite splats are dead weight (projection culls NaNs, so they
     # render as nothing) and poison any split/clone that copies them —
     # prune them and report the count (`pruned_nonfinite`).
@@ -128,17 +170,32 @@ def densify_and_prune(
               & jnp.isfinite(p.rotation).all(-1)
               & jnp.isfinite(p.opacity).all(-1))
     prune = prune | ~finite
-    sel_clone = sel_clone & finite
-    sel_split = sel_split & finite
+    # Opacity-pruned splats are excluded as clone/split sources: the
+    # reference technically creates their children first, but the prune
+    # mask is evaluated on the post-split array and the children inherit
+    # the sub-threshold opacity, so they die in the same round
+    # (`gaussian_model.py:1031-1042`) — net effect: no copies.  (ws-
+    # pruned splats stay split-eligible: their /1.6-scaled children can
+    # escape the world-size prune in the reference and survive.)
+    dead_src = ~finite | (opacity < cfg.min_opacity)
+    sel_clone = sel_clone & ~dead_src
+    sel_split = sel_split & ~dead_src
     alive_after = state.alive & ~prune & ~sel_split
 
-    # --- requests: clones first, then split copies (reference order) ---
+    # --- requests: split children first, then clones ---
+    # Each split frees its own slot (the original is killed above), so
+    # free >= num_split and every split's FIRST child is guaranteed a
+    # slot even at full capacity.  Ranking clones first (the reference's
+    # append order) is only safe with dynamic growth — at a static
+    # capacity it lets clones consume the slots the split originals
+    # freed, deleting splats outright.  When everything fits the order
+    # is irrelevant, so reference parity is unaffected.
     n_copies = 1 + cfg.split_n
     req_valid = jnp.concatenate(
-        [sel_clone] + [sel_split] * cfg.split_n)          # [n_copies*N]
+        [sel_split] * cfg.split_n + [sel_clone])          # [n_copies*N]
     req_src = jnp.tile(jnp.arange(N, dtype=jnp.int32), n_copies)
     req_is_split = jnp.concatenate(
-        [jnp.zeros(N, bool)] + [jnp.ones(N, bool)] * cfg.split_n)
+        [jnp.ones(N, bool)] * cfg.split_n + [jnp.zeros(N, bool)])
     req_rank = _rank(req_valid)
 
     free = ~alive_after
@@ -215,6 +272,9 @@ def densify_and_prune(
         "num_alive": jnp.sum(new_alive),
         "overflow": jnp.maximum(num_req - num_free, 0),
         "pruned_nonfinite": jnp.sum(state.alive & ~finite),
+        "pruned_opacity": jnp.sum(
+            state.alive & (opacity < cfg.min_opacity)),
+        "pruned_ws": jnp.sum(state.alive & prune_ws),
     }
     return new_state, opt_state, info
 

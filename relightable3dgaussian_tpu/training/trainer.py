@@ -111,7 +111,8 @@ def train_step(
 
     new_gaussians = D.add_stats(
         gs.replace(params=new_params),
-        xy_grad, grads.normal, aux["radii"], aux["visible"])
+        xy_grad, grads.normal, aux["radii"], aux["visible"],
+        width=raster_cfg.width, height=raster_cfg.height)
 
     metrics = dict(aux["tb"])
     metrics["num_alive"] = jnp.sum(gs.alive)
@@ -171,12 +172,16 @@ def train(
     the instance budgets (then the config grows and the step recompiles).
     """
     import numpy as np
-    rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
     steps = num_steps or cfg.iterations
     stack: list[int] = []
 
     start = int(state.step)
+    # Fold the resume step into both RNGs: the driver calls train() in
+    # save_interval-sized chunks, and re-seeding with the bare seed made
+    # every chunk replay the same camera permutation (visible as
+    # exactly-period-N PSNR cycles in the round-3 rehearsal log).
+    rng = np.random.default_rng([seed, start])
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), start)
     for it in range(start + 1, start + steps + 1):
         if not stack:
             stack = list(rng.permutation(len(cameras)))
@@ -206,6 +211,11 @@ def train(
             budget.check(gs.params, gs.alive, {
                 k.split("/", 1)[1]: int(v) for k, v in metrics.items()
                 if k.startswith("binning/dropped")})
+
+        # Reference: extra opacity reset at densify_from on white-bg
+        # scenes (`train.py:182-184`).
+        if cfg.white_background and it == cfg.densify_from:
+            state = opacity_reset_step(state)
 
         if cfg.densify_from < it < cfg.densify_until \
                 and it % cfg.densification_interval == 0:

@@ -47,10 +47,23 @@ class PBROptimConfig:
 
 def make_env_optimizer(cfg: PBROptimConfig) -> optax.GradientTransformation:
     env_rest = cfg.env_rest_lr if cfg.env_rest_lr >= 0 else cfg.env_lr
-    return optax.multi_transform(
-        {"dc": optax.adam(cfg.env_lr, eps=1e-15),
-         "rest": optax.adam(env_rest, eps=1e-15)},
-        L.DirectLightParams(env_shs_dc="dc", env_shs_rest="rest"))
+    # apply_if_finite: one non-finite gradient into a bare Adam poisons
+    # the env SH moments permanently and every subsequent loss is NaN —
+    # exactly the round-3 rehearsal stage-2 failure (NaN at it 900,
+    # never recovered).  The splat optimizer already skips non-finite
+    # steps (`optimizer.py:104-114`); the env and gamma optimizers must
+    # too.
+    return optax.apply_if_finite(
+        optax.multi_transform(
+            {"dc": optax.adam(cfg.env_lr, eps=1e-15),
+             "rest": optax.adam(env_rest, eps=1e-15)},
+            L.DirectLightParams(env_shs_dc="dc", env_shs_rest="rest")),
+        max_consecutive_errors=100)
+
+
+def make_gamma_optimizer(cfg: PBROptimConfig) -> optax.GradientTransformation:
+    return optax.apply_if_finite(
+        optax.adam(cfg.gamma_lr, eps=1e-15), max_consecutive_errors=100)
 
 
 def init_pbr_train_state(
@@ -61,7 +74,7 @@ def init_pbr_train_state(
 ):
     tx = opt_mod.make_optimizer(optim_cfg)
     tx_env = make_env_optimizer(pbr_cfg)
-    tx_gamma = optax.adam(pbr_cfg.gamma_lr, eps=1e-15)
+    tx_gamma = make_gamma_optimizer(pbr_cfg)
     env = L.create_direct_light(env_degree)
     gamma = L.create_gamma()
     state = PBRTrainState(
@@ -140,10 +153,15 @@ def pbr_train_step(
 
     new_gaussians = D.add_stats(
         gs.replace(params=new_params),
-        g_xy, g_params.normal, aux["radii"], aux["visible"])
+        g_xy, g_params.normal, aux["radii"], aux["visible"],
+        width=raster_cfg.width, height=raster_cfg.height)
 
     metrics = dict(aux["tb"])
     metrics["num_alive"] = jnp.sum(alive)
+    if hasattr(opt_state, "total_notfinite"):
+        metrics["notfinite_skips"] = opt_state.total_notfinite
+    if hasattr(env_opt, "total_notfinite"):
+        metrics["notfinite_skips_env"] = env_opt.total_notfinite
     metrics.update({f"binning/{k}": v for k, v in aux["stats"].items()})
     new_state = PBRTrainState(
         gaussians=new_gaussians, opt_state=opt_state,
@@ -176,12 +194,14 @@ def train_pbr(
 ) -> PBRTrainState:
     """Driver loop for stage-2 (`train.py:117-213` with is_pbr=True)."""
     import numpy as np
-    rng = np.random.default_rng(seed)
-    key = jax.random.PRNGKey(seed)
     stack: list[int] = []
     from .trainer import densify_step as base_densify  # reuse via TrainState
 
     start = int(state.step)
+    # Fold the resume step in so chunked calls don't replay the same
+    # camera permutation (see trainer.train).
+    rng = np.random.default_rng([seed, start])
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), start)
     for it in range(start + 1, start + num_steps + 1):
         if not stack:
             stack = list(rng.permutation(len(cameras)))

@@ -188,3 +188,74 @@ def test_train_snapshot_resume_cycle(tmp_path):
         np.asarray(tstate.gaussians.params.xyz))
     assert int(restored.step) == int(tstate.step)
     assert ckpt.latest_train_snapshot(str(tmp_path / "nope")) is None
+
+
+def test_pbr_env_gamma_optimizers_skip_nonfinite():
+    """A single NaN gradient must not poison the env-SH or gamma Adam
+    moments (round-3 rehearsal stage-2 NaN'd at it 900 and never
+    recovered because tx_env/tx_gamma were bare optax.adam)."""
+    from relightable3dgaussian_tpu.models import lights as L
+    import optax
+
+    env = L.create_direct_light(3)
+    gamma = L.create_gamma()
+    tx_env = TN.make_env_optimizer(TN.PBROptimConfig())
+    tx_gamma = TN.make_gamma_optimizer(TN.PBROptimConfig())
+    env_opt = tx_env.init(env)
+    gamma_opt = tx_gamma.init(gamma)
+
+    bad_env = jax.tree.map(lambda x: jnp.full_like(x, jnp.nan), env)
+    upd, env_opt2 = tx_env.update(bad_env, env_opt, env)
+    env2 = optax.apply_updates(env, upd)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(env2))
+    assert int(env_opt2.total_notfinite) == 1
+
+    bad_gamma = jax.tree.map(lambda x: jnp.full_like(x, jnp.nan), gamma)
+    updg, gamma_opt2 = tx_gamma.update(bad_gamma, gamma_opt, gamma)
+    gamma2 = optax.apply_updates(gamma, updg)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(gamma2))
+
+    # a subsequent finite gradient still applies
+    good = jax.tree.map(lambda x: jnp.full_like(x, 1e-3), env)
+    upd3, _ = tx_env.update(good, env_opt2, env2)
+    moved = any(float(jnp.abs(np.asarray(l)).max()) > 0
+                for l in jax.tree.leaves(upd3))
+    assert moved
+
+
+def test_pbr_step_finite_on_degenerate_params():
+    """Gradient finiteness on the post-opacity-reset regime that NaN'd
+    the round-3 stage-2 run: near-zero opacities, huge/degenerate
+    scales, zero normal params, large incident SH."""
+    st, cam, cfg = make_setup(use_pbr=True)
+    p = st.params
+    P = 30
+    op = np.full((64, 1), -4.6, np.float32)          # sigmoid ≈ 0.01
+    sc = np.array(p.scaling)
+    sc[:8] = 4.0                                      # e^4 ≈ 55 world units
+    sc[8:12] = -30.0                                  # collapsed axis
+    nm = np.array(p.normal)
+    nm[:16] = 0.0                                     # zero normal param
+    inc = np.array(p.incidents_dc)
+    inc[:10] = 50.0                                   # blown-up light SH
+    st = st.replace(params=p.replace(
+        opacity=jnp.asarray(op), scaling=jnp.asarray(sc),
+        normal=jnp.asarray(nm), incidents_dc=jnp.asarray(inc)))
+
+    optim_cfg = opt_mod.OptimConfig()
+    state, txs = TN.init_pbr_train_state(st, optim_cfg)
+    camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
+    gt = {"image": jnp.asarray(cam.image),
+          "mask": jnp.ones((H, W), jnp.float32)}
+    loss_cfg = R.LossConfig(lambda_mask_entropy=0.1,
+                            lambda_normal_render_depth=0.01)
+    state2, metrics = TN.pbr_train_step(
+        state, camera, gt, jnp.zeros(3), jax.random.PRNGKey(1), txs,
+        cfg, loss_cfg, 3, sample_num=4)
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree.leaves(state2.gaussians.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    for leaf in jax.tree.leaves((state2.env, state2.gamma)):
+        assert np.isfinite(np.asarray(leaf)).all()

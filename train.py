@@ -41,6 +41,9 @@ def main() -> None:
                          "this iteration (reference recipes resume stage "
                          "2 past the densify window, so 0 = off matches "
                          "script/run_nerf.sh)")
+    ap.add_argument("--densification_interval", type=int, default=100,
+                    help="densify/prune cadence (reference default 100; "
+                         "the NeRF-syn recipe run_nerf.sh uses 500)")
     ap.add_argument("--lambda_mask_entropy", type=float, default=0.0)
     ap.add_argument("--lambda_normal_render_depth", type=float, default=0.0)
     ap.add_argument("--lambda_depth", type=float, default=0.0)
@@ -159,6 +162,14 @@ def main() -> None:
     densify_cfg = Dn.DensifyConfig()
     optim_cfg = opt_mod.OptimConfig(spatial_lr_scale=extent)
 
+    if args.lambda_mask_entropy > 0 and not any(
+            c.gt_alpha_mask is not None for c in cams):
+        print("WARNING: --lambda_mask_entropy is set but the dataset "
+              "provides no alpha masks; the term is inactive (the "
+              "reference would apply it against an all-ones mask, which "
+              "collapses opacity toward 1 everywhere — deliberately not "
+              "replicated).", flush=True)
+
     t_start = time.time()
     log = open(os.path.join(args.model_path, "train_log.txt"), "a")
     tb_writer = None
@@ -218,6 +229,7 @@ def main() -> None:
         tstate, tx = T.init_train_state(state0, optim_cfg)
         tcfg = T.TrainConfig(
             iterations=args.iterations,
+            densification_interval=args.densification_interval,
             white_background=args.white_background)
         done = 0
         if args.resume:
@@ -287,7 +299,8 @@ def main() -> None:
                 extent, sample_num=args.sample_num,
                 use_ldr_image=args.use_ldr_image,
                 trace_visibility=args.lambda_visibility > 0,
-                densify_until=max(0, args.pbr_densify_until - done),
+                densification_interval=args.densification_interval,
+                densify_until=args.pbr_densify_until,
                 white_background=args.white_background,
                 log_every=args.log_interval, callback=callback,
                 budget=budget)
