@@ -68,11 +68,11 @@ def render_view(
     else:
         feats = jnp.concatenate(
             [roughness, metallic,
-             jnp.mean(extras["incident_visibility"], axis=-2),
+             extras["mean_visibility"],
              pbr_color, normal, base_color,
-             jnp.mean(extras["incident_lights"], axis=-2),
-             jnp.mean(extras["local_incident_lights"], axis=-2),
-             jnp.mean(extras["global_incident_lights"], axis=-2)],
+             extras["mean_incident_lights"],
+             extras["mean_local_lights"],
+             extras["mean_global_lights"]],
             axis=-1)
 
     out = rasterize(

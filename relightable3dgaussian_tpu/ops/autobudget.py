@@ -274,9 +274,14 @@ class BudgetController:
             int(stats.get(c, 0)) == 0 for c in
             ("dropped_rect", "dropped_stream", "dropped_grad")))
         if only_tile and k == old.max_per_tile:
+            # k == old.max_per_tile means the calibration sample could
+            # not derive a larger K — either the stream_k_max VMEM cap
+            # or simply a sampling shortfall; don't claim the hard cap
+            # unless that's provable from here.
             self.log(f"[autobudget] dropped_tile="
-                     f"{int(stats['dropped_tile'])} persists at the K="
-                     f"{k} cap; keeping cfg (no re-jit)")
+                     f"{int(stats['dropped_tile'])} persists; K={k} not "
+                     f"growable from the calibration sample (VMEM cap "
+                     f"or sample shortfall); keeping cfg (no re-jit)")
             return False
         # keep single-chunk mode aligned with the grown K
         chunk = k if new.chunk == new.max_per_tile else new.chunk

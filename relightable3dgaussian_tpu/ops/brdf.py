@@ -98,6 +98,7 @@ def rendering_equation(
     incident_dirs: jnp.ndarray | None = None,
     incident_lights_precomp: jnp.ndarray | None = None,
     visibility_precomp: jnp.ndarray | None = None,
+    return_samples: bool = False,
 ) -> tuple[jnp.ndarray, dict[str, Any]]:
     """Evaluate the render equation for every splat.
 
@@ -112,12 +113,30 @@ def rendering_equation(
       incident_lights_precomp: optional [P, S, 3] env light per direction
         (relighting path: env-map lookup instead of SH);
       visibility_precomp: optional [P, S, 1] ray-traced visibility
-        (composition path, `neilf_composite.py:269-279`).
+        (composition path, `neilf_composite.py:269-279`);
+      return_samples: keep per-sample [P, S, *] extras (forces the dense
+        path).  Default False uses a `lax.scan` over samples that never
+        materializes a [P, S, *] tensor — at P=131k, S=24 every dense
+        intermediate is ~200 MB of HBM traffic and the dense evaluation
+        is purely bandwidth-bound (~106 ms/step measured in round 3);
+        the reference's CUDA kernel streams samples in registers for the
+        same reason (`render_equation.cu:552-663`).
 
     Returns:
       (pbr [P, 3], extras dict) matching the reference Python twin
-      (`rendering_equation_python`, `neilf.py:437-519`).
+      (`rendering_equation_python`, `neilf.py:437-519`).  Extras always
+      include the sample-reduced channels consumers need
+      (`diffuse_light`, `mean_*`); per-sample tensors only with
+      `return_samples=True` (or when precomputed per-sample inputs are
+      given, which already exist at [P, S, *]).
     """
+    dense = (return_samples or incident_dirs is not None
+             or incident_lights_precomp is not None
+             or visibility_precomp is not None)
+    if not dense:
+        return _rendering_equation_scan(
+            base_color, roughness, metallic, normals, viewdirs,
+            incidents, direct_shs, visibility_shs, sample_num, rng)
     if incident_dirs is None:
         incident_dirs = sample_incident_dirs(normals, sample_num, rng)
     S = incident_dirs.shape[1]
@@ -199,5 +218,141 @@ def rendering_equation(
         "rgb_s": rgb_s,
         # mean-channel accumulated radiance (`render_equation.cu:182-184`)
         "accum": jnp.mean(diffuse_light / PI + rgb_s, axis=-1),
+        # sample-reduced channels (what the feature packers consume;
+        # identical keys to the scan path)
+        "mean_incident_lights": jnp.mean(incident_lights, axis=-2),
+        "mean_local_lights": jnp.mean(local, axis=-2),
+        "mean_global_lights": jnp.mean(global_lights, axis=-2),
+        "mean_visibility": jnp.mean(vis, axis=-2),
+    }
+    return pbr, extras
+
+
+def _rendering_equation_scan(
+    base_color: jnp.ndarray,
+    roughness: jnp.ndarray,
+    metallic: jnp.ndarray,
+    normals: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    incidents: jnp.ndarray,
+    direct_shs: jnp.ndarray | None,
+    visibility_shs: jnp.ndarray | None,
+    sample_num: int,
+    rng: jax.Array | None,
+) -> tuple[jnp.ndarray, dict[str, Any]]:
+    """Sample-streaming evaluation: identical math to the dense path but
+    one incident direction at a time ([P, *] working set), accumulating
+    the sample means.  Never builds a [P, S, *] tensor, so HBM traffic
+    per step is the parameter read (~40 MB at P=131k) instead of ~10
+    dense [P, S, *] round trips — the bandwidth shape of the reference's
+    register-resident CUDA kernel (`render_equation.cu:552-663`)."""
+    P = normals.shape[0]
+    dt = normals.dtype
+    S = sample_num
+
+    if visibility_shs is not None:
+        deg = int(round(visibility_shs.shape[1] ** 0.5)) - 1
+    else:
+        deg = 3
+    ki = incidents.shape[1]
+    dshs = None
+    if direct_shs is not None:
+        dshs = direct_shs.reshape(-1, 3)                        # [Kd, 3]
+
+    R = sh_ops.rotation_between_z(normals)                      # [P, 3, 3]
+    azim = None
+    if rng is not None:
+        azim = jax.random.uniform(rng, (P, 1), dt) * 2.0 * PI   # [P, 1]
+
+    n = normals
+    v = viewdirs
+    base = base_color
+    rough = roughness
+    metal = metallic
+    f_d = (1.0 - metal) * base / PI
+    f0 = 0.04 * (1.0 - metal) + base * metal
+    n_d_o = jnp.maximum(jnp.sum(n * v, -1, keepdims=True), 0.0)
+    v_o = _v_schlick_ggx(rough, n_d_o)
+
+    delta = PI * (3.0 - jnp.sqrt(jnp.asarray(5.0, dt)))
+
+    def one_sample(s):
+        sf = s.astype(dt)
+        z = 1.0 - 2.0 * sf / (2.0 * S - 1.0)
+        rad = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        theta = delta * sf
+        if azim is not None:
+            theta = theta + azim                                # [P, 1]
+        else:
+            theta = jnp.full((P, 1), theta, dt)
+        local_dir = jnp.concatenate(
+            [jnp.sin(theta) * rad, jnp.cos(theta) * rad,
+             jnp.full((P, 1), z, dt)], -1)                      # [P, 3]
+        d = _safe_unit(jnp.einsum("pij,pj->pi", R, local_dir))  # [P, 3]
+
+        coef = sh_ops.eval_sh_basis(deg, d)                     # [P, K]
+        local = jnp.maximum(
+            jnp.einsum("pk,pkc->pc", coef[:, :ki], incidents), 0.0)
+        if dshs is not None:
+            kd = dshs.shape[0]
+            glob = jnp.maximum(coef[:, :kd] @ dshs + 0.5, 0.0)
+        else:
+            glob = jnp.zeros_like(local)
+        if visibility_shs is not None:
+            kv = visibility_shs.shape[1]
+            vis = jnp.clip(
+                jnp.einsum("pk,pkc->pc", coef[:, :kv], visibility_shs)
+                + 0.5, 0.0, 1.0)
+        else:
+            vis = jnp.ones_like(local[..., :1])
+        glob = glob * vis
+        light = local + glob
+
+        half = _safe_unit(d + v)
+        h_d_n = jnp.maximum(jnp.sum(half * n, -1, keepdims=True), 0.0)
+        h_d_o = jnp.maximum(jnp.sum(half * v, -1, keepdims=True), 0.0)
+        n_d_i = jnp.maximum(jnp.sum(n * d, -1, keepdims=True), 0.0)
+
+        D = _d_sg(rough, h_d_n)
+        F = f0 + (1.0 - f0) * (1.0 - h_d_o) ** 5
+        V = _v_schlick_ggx(rough, n_d_i) * v_o
+        f_s = D * F * V
+
+        transport = light * (2.0 * PI) * n_d_i                  # [P, 3]
+        return {
+            "transport": transport,
+            "local_transport": local * (2.0 * PI) * n_d_i,
+            "spec": f_s * transport,
+            "light": light,
+            "local": local,
+            "glob": glob,
+            "vis": vis,
+        }
+
+    def body(carry, s):
+        out = one_sample(s)
+        return jax.tree.map(jnp.add, carry, out), None
+
+    init = jax.tree.map(
+        lambda a: jnp.zeros(a.shape, a.dtype),
+        jax.eval_shape(one_sample, jnp.int32(0)))
+    sums, _ = jax.lax.scan(
+        body, init, jnp.arange(S, dtype=jnp.int32))
+    inv = 1.0 / S
+    diffuse_light = sums["transport"] * inv
+    local_diffuse_light = sums["local_transport"] * inv
+    rgb_d = f_d * diffuse_light
+    rgb_s = sums["spec"] * inv
+    pbr = rgb_d + rgb_s
+    extras = {
+        "diffuse_light": diffuse_light,
+        "local_diffuse_light": local_diffuse_light,
+        "rgb_d": rgb_d,
+        "rgb_s": rgb_s,
+        "accum": jnp.mean(diffuse_light / PI + rgb_s, axis=-1),
+        "mean_incident_lights": sums["light"] * inv,
+        "mean_local_lights": sums["local"] * inv,
+        "mean_global_lights": sums["glob"] * inv,
+        "mean_visibility": sums["vis"] * inv,
     }
     return pbr, extras

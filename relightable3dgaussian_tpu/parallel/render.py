@@ -271,6 +271,12 @@ def make_tp_train_step(
                 loss, tb = R.calculate_loss(res, {"image": gt}, loss_cfg)
                 return loss, tb
             losses_, tbs = jax.lax.map(one, (cameras, gt_images))
+            if use_sharded_loss:
+                # keep PER-CAMERA partial sq-sums: the PSNR below must
+                # be the mean of per-camera PSNRs (same definition as
+                # the replicated path), not the PSNR of the batch-mean
+                # MSE.
+                return jnp.mean(losses_), {"sq_sum": tbs["sq_sum"]}
             return jnp.mean(losses_), jax.tree.map(jnp.mean, tbs)
 
         (loss, tb), grads = jax.value_and_grad(
@@ -282,8 +288,12 @@ def make_tp_train_step(
                 lambda g: jax.lax.pmean(jax.lax.psum(g, "tile"), "data"),
                 grads)
             loss = jax.lax.pmean(jax.lax.psum(loss, "tile"), "data")
-            mse = jax.lax.psum(tb["sq_sum"], "tile") / denom
-            tb = {"psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))}
+            # per-camera MSE (row partials psum'd over tile), then mean
+            # of per-camera PSNRs — matching the replicated path's
+            # metric definition so curves are comparable across modes
+            mse_pc = jax.lax.psum(tb["sq_sum"], "tile") / denom   # [B]
+            psnr_pc = -10.0 * jnp.log10(jnp.maximum(mse_pc, 1e-12))
+            tb = {"psnr": jnp.mean(psnr_pc)}
         else:
             # Each member's grad rows cover only its own P/S slice, but
             # the replicated loss on the gathered image scales every

@@ -69,11 +69,18 @@ def main() -> None:
         state, sample_num=args.sample_num, chunk=args.chunk, strict=True)
     vis.block_until_ready()
     dt = time.time() - t0
-    n_rays = int(state.params.capacity) * args.sample_num
+    # report both: capacity-based rays/s is what the chunked kernel
+    # actually processed (padded slots trace too); alive-based is the
+    # honest per-live-splat throughput when a --ply under-fills the
+    # capacity.
+    n_alive = int(np.asarray(state.alive).sum())
+    n_rays_cap = int(state.params.capacity) * args.sample_num
+    n_rays_alive = n_alive * args.sample_num
     print(f"precompute_visibility: {dt / 60:.2f} min "
-          f"({n_rays / dt / 1e6:.2f} Mrays/s, sample_num="
-          f"{args.sample_num}, capacity {int(state.params.capacity)}, "
-          f"strict lossless)", flush=True)
+          f"({n_rays_cap / dt / 1e6:.2f} Mrays/s over capacity "
+          f"{int(state.params.capacity)}; "
+          f"{n_rays_alive / dt / 1e6:.2f} Mrays/s over {n_alive} alive, "
+          f"sample_num={args.sample_num}, strict lossless)", flush=True)
     print(f"mean visibility {float(vis.mean()):.4f}")
 
 

@@ -184,3 +184,49 @@ def test_precomputed_visibility_and_env():
     np.testing.assert_allclose(
         np.asarray(extras["global_incident_lights"]), 0.35, atol=1e-6)
     assert np.isfinite(np.asarray(pbr)).all()
+
+
+def test_scan_path_matches_dense_path():
+    """The sample-streaming evaluation (default) must reproduce the
+    dense [P, S, *] evaluation exactly — same math, same rng azimuth —
+    including every sample-reduced extras channel."""
+    args = [jnp.asarray(a) for a in make_inputs(P=25, seed=3)]
+    base, rough, metal, normals, viewdirs, incidents, direct, vis = args
+    for key in (None, jax.random.PRNGKey(7)):
+        pbr_s, ex_s = brdf.rendering_equation(
+            base, rough, metal, normals, viewdirs, incidents,
+            direct_shs=direct, visibility_shs=vis, sample_num=16,
+            rng=key)
+        pbr_d, ex_d = brdf.rendering_equation(
+            base, rough, metal, normals, viewdirs, incidents,
+            direct_shs=direct, visibility_shs=vis, sample_num=16,
+            rng=key, return_samples=True)
+        np.testing.assert_allclose(np.asarray(pbr_s), np.asarray(pbr_d),
+                                   rtol=1e-4, atol=1e-6)
+        for k in ("diffuse_light", "local_diffuse_light", "rgb_d",
+                  "rgb_s", "accum", "mean_incident_lights",
+                  "mean_local_lights", "mean_global_lights",
+                  "mean_visibility"):
+            np.testing.assert_allclose(
+                np.asarray(ex_s[k]), np.asarray(ex_d[k]),
+                rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_scan_path_gradients_match_dense():
+    args = [jnp.asarray(a) for a in make_inputs(P=12, seed=5)]
+    base, rough, metal, normals, viewdirs, incidents, direct, vis = args
+
+    def loss(dense):
+        def f(bc, r, m, inc, d, v):
+            pbr, _ = brdf.rendering_equation(
+                bc, r, m, normals, viewdirs, inc, direct_shs=d,
+                visibility_shs=v, sample_num=8,
+                return_samples=dense)
+            return jnp.sum(pbr ** 2)
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4, 5))(
+            base, rough, metal, incidents, direct, vis)
+
+    gs, gd = loss(False), loss(True)
+    for a, b in zip(gs, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)

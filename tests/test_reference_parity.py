@@ -282,11 +282,14 @@ def test_rendering_equation_matches_reference(ref_neilf, monkeypatch):
 
     args = tuple(jnp.asarray(leaves[k])
                  for k in ("base", "rough", "metal", "incidents", "vis"))
+    # return_samples=True: the per-sample extras are compared against the
+    # torch twin; `scalar` above keeps the default scan path so the
+    # PRODUCTION evaluation's gradients are what's checked below.
     pbr_j, extras_j = brdf.rendering_equation(
         args[0], args[1], args[2], jnp.asarray(normals),
         jnp.asarray(view), args[3],
         direct_shs=jnp.asarray(env.reshape(K, 3)),
-        visibility_shs=args[4], sample_num=S)
+        visibility_shs=args[4], sample_num=S, return_samples=True)
     got_grads = jax.grad(scalar, argnums=(0, 1, 2, 3, 4))(*args)
 
     np.testing.assert_allclose(np.asarray(pbr_j), pbr_t.detach().numpy(),
