@@ -107,6 +107,7 @@ def render_point_sharded_routed(
     active_sh_degree: int = 3,
     route_cap: int | None = None,
     backend: str = "auto",
+    features_fn=None,
 ):
     """Fully sharded forward: point-sharded preprocess → instance
     all-to-all (`parallel.route`) → tile-sharded compositing, with no
@@ -115,6 +116,16 @@ def render_point_sharded_routed(
     Per-member memory: P/S parameters + the route buffers
     (S × route_cap rows) + T/S dense tile lists — all shrink with the
     mesh, unlike the all_gather stand-in `render_point_sharded`.
+
+    features_fn: optional `(params_slice, alive_slice, camera) ->
+    (feats [P/S, Se], aux dict)` computing the blended feature channels
+    OWNER-SIDE on the member's parameter slice (the TP idiom: per-splat
+    shading — e.g. the NeILF render equation — costs P/S per member and
+    only the shaded channels ride the all-to-all).  Default packs the
+    slice normals (base 3DGS).  aux entries stay [P/S, ...]-sliced; the
+    caller decides which to all_gather/psum.  The returned dict carries
+    the raw blended channels under "feature" ([H, W, Se]) next to the
+    base-path "normal" split.
     """
     import jax as _jax
     from ..ops import composite_pallas as cpal
@@ -140,9 +151,14 @@ def render_point_sharded_routed(
         camera["tan_fov"][0], camera["tan_fov"][1],
         sh_coeffs=G.get_shs(p_sl), active_sh_degree=active_sh_degree,
         scale_modifier=cfg.scale_modifier, znear=cfg.znear)
+    if features_fn is None:
+        extra_sl, feat_aux = G.get_normal(p_sl), {}
+    else:
+        extra_sl, feat_aux = features_fn(p_sl, alive_sl, camera)
+    Se = extra_sl.shape[-1]
     feats_sl = jnp.concatenate(
         [proj_sl.rgb, proj_sl.depth[:, None],
-         jnp.ones_like(proj_sl.depth)[:, None], G.get_normal(p_sl)], -1)
+         jnp.ones_like(proj_sl.depth)[:, None], extra_sl], -1)
     payload_sl = jnp.concatenate(
         [proj_sl.xy, proj_sl.conic, proj_sl.opacity[:, None], feats_sl],
         axis=-1)
@@ -190,6 +206,8 @@ def render_point_sharded_routed(
         "depth": img[..., 3],
         "opacity": img[..., 4],
         "normal": img[..., 5:8],
+        "feature": img[..., 5:5 + Se],
+        "feature_aux": feat_aux,
         "final_t": final_t,
         "radii": radii,
         "visibility_filter": radii > 0,
@@ -327,6 +345,184 @@ def make_tp_train_step(
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(rep, cam_specs, batch, rep),
+        out_specs=(rep, rep),
+        check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0,))
+
+def pbr_features_fn(
+    env,
+    sample_num: int = 24,
+    rng: jax.Array | None = None,
+    axis: str | None = None,
+):
+    """Owner-side NeILF shading for `render_point_sharded_routed`.
+
+    Evaluates the render equation (ops.brdf) on the member's P/S
+    parameter slice and packs the 11-channel training feature set
+    (roughness, metallic, pbr color, normal, base color — the layout of
+    `models/neilf.py::render_view` is_training=True, reference
+    `neilf.py:113-120`).  The per-splat BRDF cost scales with the mesh;
+    only the 11 shaded channels ride the instance all-to-all.
+
+    rng: azimuth randomization; folded with the member index (each slice
+    draws independent sample azimuths).  None = deterministic spiral
+    (used by the update-exactness test).
+    """
+    from ..models import lights as L_
+    from ..ops import brdf
+    from ..ops import transforms as tf
+
+    def fn(p_sl, alive_sl, camera):
+        normal = G.get_normal(p_sl)
+        base_color = G.get_base_color(p_sl)
+        roughness = G.get_roughness(p_sl)
+        metallic = G.get_metallic(p_sl)
+        incidents = G.get_incidents(p_sl)
+        visibility = G.get_visibility(p_sl)
+        viewdirs = tf.normalize(camera["campos"][None, :] - p_sl.xyz)
+        k = rng
+        if k is not None and axis is not None:
+            k = jax.random.fold_in(k, jax.lax.axis_index(axis))
+        pbr_color, extras = brdf.rendering_equation(
+            base_color, roughness, metallic,
+            jax.lax.stop_gradient(normal), viewdirs, incidents,
+            direct_shs=None if env is None else env.env_shs,
+            visibility_shs=visibility, sample_num=sample_num, rng=k)
+        feats = jnp.concatenate(
+            [roughness, metallic, pbr_color, normal, base_color], -1)
+        return feats, {"diffuse_light": extras["diffuse_light"]}
+    return fn
+
+
+def render_tp_pbr(
+    params: G.GaussianParams,
+    alive: jnp.ndarray,
+    camera: dict[str, jnp.ndarray],
+    bg_color: jnp.ndarray,
+    cfg: RasterizeConfig,
+    axis: str,
+    nshards: int,
+    env=None,
+    gamma=None,
+    use_ldr_image: bool = False,
+    sample_num: int = 24,
+    rng: jax.Array | None = None,
+    active_sh_degree: int = 3,
+    route_cap: int | None = None,
+    backend: str = "auto",
+):
+    """TP x PBR: the full 11-channel NeILF training render through the
+    point-sharded routed path (VERDICT r3 weak #7).  Returns the same
+    results-dict schema as `models/neilf.py::render_view`
+    (is_training=True), so `neilf.calculate_loss` consumes it directly.
+    Call inside shard_map over `axis`."""
+    from ..models import lights as L_
+
+    res = render_point_sharded_routed(
+        params, alive, camera, bg_color, cfg, axis, nshards,
+        active_sh_degree=active_sh_degree, route_cap=route_cap,
+        backend=backend,
+        features_fn=pbr_features_fn(env, sample_num, rng, axis))
+    f = res["feature"]
+    res["roughness"] = f[..., 0:1]
+    res["metallic"] = f[..., 1:2]
+    pbr_img = f[..., 2:5]
+    res["normal"] = f[..., 5:8]
+    res["base_color"] = f[..., 8:11]
+    pbr_img = pbr_img + (1.0 - res["opacity"][..., None]) * bg_color
+    if gamma is not None:
+        pbr_img = L_.apply_gamma(gamma, pbr_img, use_ldr_image)
+    res["pbr"] = pbr_img
+    # per-splat diffuse light for the white-balance loss: slices are
+    # disjoint rows, one gather reassembles [P, 3]
+    res["diffuse_light"] = jax.lax.all_gather(
+        res["feature_aux"]["diffuse_light"], axis, axis=0, tiled=True)
+    return res
+
+
+def make_tp_pbr_train_step(
+    txs: tuple,
+    mesh: Mesh,
+    cfg: RasterizeConfig,
+    loss_cfg,
+    sh_deg: int = 3,
+    sample_num: int = 8,
+    use_ldr_image: bool = False,
+    randomize: bool = True,
+):
+    """PBR training step over a data x tile mesh with the render
+    equation and rasterization point/tile-sharded (TP).  Splat, env-SH
+    and gamma parameters update exactly as the single-device
+    `pbr_train_step` (pinned by tests/test_multichip.py).
+
+    randomize=False pins the BRDF azimuths to the deterministic spiral
+    (the update-exactness test's configuration — per-slice rng folds
+    can't match the single-device draw).
+    """
+    from ..models import neilf as NF
+    from ..training.trainer_neilf import PBRTrainState
+
+    tx, tx_env, tx_gamma = txs
+    ntile = mesh.shape["tile"]
+
+    def shard_fn(state: PBRTrainState, cameras, gt_images, bg, rng):
+        gs = state.gaussians
+
+        def local_loss(p, env, gamma):
+            def one(cam_gt):
+                cam, gt = cam_gt
+                res = render_tp_pbr(
+                    p, gs.alive, cam, bg, cfg, "tile", ntile,
+                    env=env, gamma=gamma, use_ldr_image=use_ldr_image,
+                    sample_num=sample_num,
+                    rng=rng if randomize else None,
+                    active_sh_degree=sh_deg)
+                loss, tb = NF.calculate_loss(res, {"image": gt}, loss_cfg)
+                return loss, {"psnr": tb["psnr"]}
+            losses_, tbs = jax.lax.map(one, (cameras, gt_images))
+            return jnp.mean(losses_), jax.tree.map(jnp.mean, tbs)
+
+        (loss, tb), grads = jax.value_and_grad(
+            local_loss, has_aux=True, argnums=(0, 1, 2))(
+            gs.params, state.env, state.gamma)
+        g_params, g_env, g_gamma = grads
+        # param rows: disjoint slices -> replicated-loss cotangents are
+        # S-fold scaled (all_gather transpose), mean over tile exact
+        g_params = jax.tree.map(
+            lambda g: jax.lax.pmean(jax.lax.pmean(g, "tile"), "data"),
+            g_params)
+        # env/gamma feed every member's loss replicated -> mean over both
+        g_env, g_gamma = jax.tree.map(
+            lambda g: jax.lax.pmean(jax.lax.pmean(g, "tile"), "data"),
+            (g_env, g_gamma))
+        loss = jax.lax.pmean(loss, "data")
+
+        alive_b = gs.alive
+        g_params = jax.tree.map(
+            lambda g: jnp.where(
+                alive_b.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0.0),
+            g_params)
+        upd, new_opt = tx.update(g_params, state.opt_state, gs.params)
+        new_params = optax.apply_updates(gs.params, upd)
+        upd_e, env_opt = tx_env.update(g_env, state.env_opt, state.env)
+        new_env = optax.apply_updates(state.env, upd_e)
+        upd_g, gamma_opt = tx_gamma.update(g_gamma, state.gamma_opt)
+        new_gamma = optax.apply_updates(state.gamma, upd_g)
+        new_state = PBRTrainState(
+            gaussians=gs.replace(params=new_params), opt_state=new_opt,
+            env=new_env, env_opt=env_opt,
+            gamma=new_gamma, gamma_opt=gamma_opt,
+            step=state.step + 1)
+        return new_state, {"loss": loss, "psnr": jax.lax.pmean(
+            tb["psnr"], "data")}
+
+    rep = P()
+    batch = P("data")
+    cam_specs = dict(w2c=batch, full_proj=batch, campos=batch,
+                     focal=batch, tan_fov=batch)
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(rep, cam_specs, batch, rep, rep),
         out_specs=(rep, rep),
         check_vma=False)
     return jax.jit(mapped, donate_argnums=(0,))

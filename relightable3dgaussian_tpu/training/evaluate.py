@@ -58,7 +58,7 @@ def evaluate(
     cameras: list,
     out_dir: str | None = None,
     save_images: bool = False,
-    compute_lpips: bool = False,
+    compute_lpips: bool = True,
     image_key: str = "render",
 ) -> dict[str, float]:
     """Render every camera, compare to ground truth, aggregate metrics.
