@@ -123,6 +123,7 @@ def create_from_points(
     use_pbr: bool = False,
     normals: np.ndarray | None = None,
     init_scale: np.ndarray | None = None,
+    init_opacity: np.ndarray | float = 0.1,
 ) -> GaussianState:
     """Initialize from a point cloud (reference `create_from_pcd`,
     `gaussian_model.py:537-579`).
@@ -132,6 +133,9 @@ def create_from_points(
       capacity: padded slot count (>= P).
       init_scale: [P] per-point scale (e.g. sqrt(mean 3-NN dist²));
         computed with `ops.knn.mean_knn_dist2` if None.
+      init_opacity: scalar or [P] initial opacity (reference inits at
+        0.1, `gaussian_model.py:551`; synthetic GT builders pass ~0.9
+        to make opaque surfaces).
     """
     P = points.shape[0]
     assert capacity >= P
@@ -172,7 +176,10 @@ def create_from_points(
         shs_rest=pad(shs[:, 1:]),
         scaling=pad(log_scale.astype(np.float32), fill=-10.0),
         rotation=pad(rot),
-        opacity=pad(np.full((P, 1), inverse_sigmoid(0.1), np.float32)),
+        opacity=pad(np.asarray(
+            inverse_sigmoid(np.broadcast_to(
+                np.float32(init_opacity), (P,))).reshape(P, 1),
+            np.float32)),
         base_color=pad(np.zeros((P, 3), np.float32)) if use_pbr
         else jnp.zeros((capacity, 0)),
         roughness=pad(np.zeros((P, 1), np.float32)) if use_pbr

@@ -28,47 +28,67 @@ import sys
 
 
 def build_gt_scene(n: int, seed: int = 0):
-    """Procedural GT splat cloud with high-frequency color structure."""
+    """Procedural GT splat cloud: OPAQUE smooth surfaces with structured
+    color detail.
+
+    v2 (round 4): the first rehearsal scene left every GT splat at the
+    trainer's init opacity 0.1 with scale ~ spacing — the renders were
+    translucent dust speckle (per-pixel white noise) that no 3DGS
+    optimizer, the reference included, can fit to high PSNR.  A
+    representative NeRF-synthetic-like target needs opaque surfaces
+    (opacity ~0.92), splats ~2x their spacing so neighbors overlap into
+    a continuous surface, and color fields that vary smoothly at splat
+    scale.  Returns (pts, cols, scale, opacity)."""
     import numpy as np
     rng = np.random.default_rng(seed)
     n_sph = int(n * 0.55)
     n_blob = int(n * 0.25)
     n_gnd = n - n_sph - n_blob
 
-    # textured sphere (radius .6) — stripes × checker color field
+    # textured sphere (radius .6) — smooth stripes x soft checker
     theta = np.arccos(rng.uniform(-1, 1, n_sph))
     phi = rng.uniform(0, 2 * np.pi, n_sph)
     sph = 0.6 * np.stack([np.sin(theta) * np.cos(phi),
                           np.sin(theta) * np.sin(phi),
                           np.cos(theta)], -1)
-    stripes = 0.5 + 0.5 * np.sin(9.0 * theta)
-    checker = 0.5 + 0.5 * np.sign(np.sin(6 * phi) * np.sin(7 * theta))
+    stripes = 0.5 + 0.5 * np.sin(5.0 * theta)
+    checker = 0.5 + 0.5 * np.tanh(2.0 * np.sin(4 * phi) * np.sin(5 * theta))
     sph_col = np.stack([stripes,
                         checker,
-                        0.5 + 0.5 * np.cos(5 * phi)], -1)
+                        0.5 + 0.5 * np.cos(3 * phi)], -1)
+    sph_scale = np.full(n_sph, 2.0 * 2.13 / np.sqrt(max(n_sph, 1)))
+    sph_op = np.full(n_sph, 0.92)
 
-    # satellite blobs at fixed offsets, solid-ish colors with noise
+    # satellite blobs: smooth solid-color balls (surface sampling, not
+    # gaussian dust)
     centers = np.array([[0.9, 0.25, 0.0], [-0.8, 0.4, 0.5],
                         [0.1, 0.6, -0.9], [-0.4, -0.1, 0.95]])
     base = np.array([[0.9, 0.2, 0.15], [0.15, 0.75, 0.9],
                      [0.9, 0.8, 0.1], [0.5, 0.2, 0.85]])
     which = rng.integers(0, 4, n_blob)
-    blob = centers[which] + rng.normal(0, 0.13, (n_blob, 3))
-    blob_col = np.clip(base[which] + rng.normal(0, 0.08, (n_blob, 3)), 0, 1)
+    bdir = rng.normal(size=(n_blob, 3))
+    bdir /= np.linalg.norm(bdir, axis=-1, keepdims=True)
+    brad = 0.22 * rng.uniform(0.85, 1.0, (n_blob, 1))
+    blob = centers[which] + bdir * brad
+    blob_col = np.clip(base[which] + rng.normal(0, 0.03, (n_blob, 3)), 0, 1)
+    blob_scale = np.full(n_blob, 2.0 * 1.56 / np.sqrt(max(n_blob, 1)))
+    blob_op = np.full(n_blob, 0.9)
 
-    # ground disc (y = -0.75) with radial rings
+    # ground disc (y = -0.75) with smooth radial rings
     r = 1.6 * np.sqrt(rng.uniform(0, 1, n_gnd))
     a = rng.uniform(0, 2 * np.pi, n_gnd)
     gnd = np.stack([r * np.cos(a), np.full(n_gnd, -0.75), r * np.sin(a)], -1)
-    rings = 0.35 + 0.45 * (0.5 + 0.5 * np.sin(14 * r))
+    rings = 0.35 + 0.45 * (0.5 + 0.5 * np.sin(7 * r))
     gnd_col = np.stack([rings, rings * 0.9, rings * 0.7], -1)
+    gnd_scale = np.full(n_gnd, 2.0 * 2.84 / np.sqrt(max(n_gnd, 1)))
+    gnd_op = np.full(n_gnd, 0.95)
 
     pts = np.concatenate([sph, blob, gnd]).astype(np.float32)
     cols = np.concatenate([sph_col, blob_col, gnd_col]).astype(np.float32)
-    # splat size ~ local spacing: sphere area / n
-    scale = np.full(n, 2.2 / np.sqrt(max(n, 1)), np.float32)
-    scale[n_sph + n_blob:] *= 1.6  # ground splats sparser
-    return pts, cols, scale
+    scale = np.concatenate([sph_scale, blob_scale, gnd_scale]
+                           ).astype(np.float32)
+    opacity = np.concatenate([sph_op, blob_op, gnd_op]).astype(np.float32)
+    return pts, cols, scale, opacity
 
 
 def orbit_pose(ang: float, elev: float, radius: float):
@@ -118,9 +138,10 @@ def main() -> None:
 
     rng = np.random.default_rng(args.seed)
     W = H = args.size
-    pts, cols, scale = build_gt_scene(args.gt_splats, args.seed)
+    pts, cols, scale, opac = build_gt_scene(args.gt_splats, args.seed)
     cap = 1 << (args.gt_splats - 1).bit_length()
-    state = G.create_from_points(pts, cols, capacity=cap, init_scale=scale)
+    state = G.create_from_points(pts, cols, capacity=cap, init_scale=scale,
+                                 init_opacity=opac)
 
     # camera set: golden-angle azimuths, jittered elevation band
     n_total = args.views + args.test_views
@@ -145,9 +166,13 @@ def main() -> None:
                                    cam_inputs[:4], base_cfg)
     bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
 
-    render = jax.jit(lambda ci: R.render_view(
-        state.params, state.alive, ci, bg, cfg, active_sh_degree=0,
-        compute_pseudo_normal=False)["render"])
+    def render_fn(ci):
+        out = R.render_view(
+            state.params, state.alive, ci, bg, cfg, active_sh_degree=0,
+            compute_pseudo_normal=False)
+        return out["render"], out["opacity"]
+
+    render = jax.jit(render_fn)
 
     os.makedirs(args.out, exist_ok=True)
     for split, idxs in (("train", range(args.views)),
@@ -155,9 +180,18 @@ def main() -> None:
         os.makedirs(os.path.join(args.out, split), exist_ok=True)
         frames = []
         for i in idxs:
-            img = np.clip(np.asarray(render(cam_inputs[i])), 0, 1)
+            rgb, alpha = render(cam_inputs[i])
+            img = np.clip(np.asarray(rgb), 0, 1)
+            a = np.clip(np.asarray(alpha), 0, 1)
+            # RGBA like the NeRF-synthetic sets: the reader turns the
+            # alpha into gt_alpha_mask (mask-entropy loss) and
+            # composites `rgb*a + bg*(1-a)` (`dataset_readers.py:126-128`)
+            # — i.e. it expects UN-premultiplied color, while `render`
+            # is the premultiplied blend over black; divide alpha out.
+            un = img / np.maximum(a[..., None], 1e-4)
+            rgba = np.concatenate([np.clip(un, 0, 1), a[..., None]], -1)
             name = f"r_{i}" if split == "train" else f"r_{i - args.views}"
-            Image.fromarray((img * 255 + 0.5).astype(np.uint8)).save(
+            Image.fromarray((rgba * 255 + 0.5).astype(np.uint8)).save(
                 os.path.join(args.out, split, name + ".png"))
             Rm, c = poses[i]
             c2w = np.eye(4)
