@@ -98,6 +98,15 @@ def main() -> None:
                          active_sh_degree=3, compute_pseudo_normal=False)
     stats0 = {k: int(v) for k, v in res0["stats"].items()}
     print("# binning:", stats0, file=sys.stderr, flush=True)
+    # SSIM numerical sanity ON THE REAL DEVICE: ssim <= 1 and
+    # ssim(x, x) == 1.  Guards the default-matmul-precision class of
+    # bug (bf16 operand rounding made E[x²]−μ² cancel and ssim ran to
+    # 1.32 on TPU from r2 to r4 while all CPU tests passed).
+    from relightable3dgaussian_tpu.ops import losses as _L
+    s_self = float(_L.ssim(target, target))
+    s_pair = float(_L.ssim(res0["render"], target))
+    assert abs(s_self - 1.0) < 1e-4 and s_pair <= 1.0001, (
+        "SSIM broken on this device", s_self, s_pair)
     assert (stats0["dropped_rect"] == 0 and stats0["dropped_tile"] == 0
             and stats0.get("dropped_stream", 0) == 0), (
         "benchmark budgets must be lossless", stats0)

@@ -246,16 +246,24 @@ def calculate_loss(
         tb["loss_base_color"] = lbc
         loss = loss + cfg.lambda_base_color * lbc
 
+    if (cfg.lambda_base_color_smooth > 0 or cfg.lambda_metallic_smooth > 0
+            or cfg.lambda_roughness_smooth > 0):
+        # one shared gt-edge weight for all three smoothness terms (the
+        # |∇gt| Sobel is identical across them)
+        bw = jax.lax.stop_gradient(losses.bilateral_weight(gt_image))
     if cfg.lambda_base_color_smooth > 0:
-        lb = losses.bilateral_smooth(results["base_color"], gt_image, mask)
+        lb = losses.bilateral_smooth(results["base_color"], gt_image, mask,
+                                     weight=bw)
         tb["loss_base_color_smooth"] = lb
         loss = loss + cfg.lambda_base_color_smooth * lb
     if cfg.lambda_metallic_smooth > 0:
-        lm = losses.bilateral_smooth(results["metallic"], gt_image, mask)
+        lm = losses.bilateral_smooth(results["metallic"], gt_image, mask,
+                                     weight=bw)
         tb["loss_metallic_smooth"] = lm
         loss = loss + cfg.lambda_metallic_smooth * lm
     if cfg.lambda_roughness_smooth > 0:
-        lr = losses.bilateral_smooth(results["roughness"], gt_image, mask)
+        lr = losses.bilateral_smooth(results["roughness"], gt_image, mask,
+                                     weight=bw)
         tb["loss_roughness_smooth"] = lr
         loss = loss + cfg.lambda_roughness_smooth * lr
 

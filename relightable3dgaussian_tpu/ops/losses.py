@@ -29,12 +29,16 @@ def _gaussian_window(size: int, sigma: float):
     return g / np.sum(g)
 
 
-# Separable blur as two banded-Toeplitz matmuls (MXU) instead of 2x11
-# shifted adds (VPU/HBM): at 800²x15 the [800,800] band matrices cost
-# ~0.3 ms each direction on the MXU and autodiff's transpose is again a
-# matmul — measured faster than the shifted-add lowering on v5e.
-# Module-level so tools/bench_probe.py can A/B (--set losses.SSIM_MATMUL=0).
-SSIM_MATMUL = True
+# Separable blur: banded-Toeplitz matmuls (MXU) vs 2x11 shifted adds
+# (VPU/HBM).  r2 measured the matmul path ~2 ms faster — but that was at
+# the TPU default matmul precision, where the MXU rounds f32 operands to
+# bf16 and the SSIM variance terms E[x²] − μ² cancel catastrophically
+# (ssim > 1, garbage D-SSIM gradients; see _sep_filter2d_matmul).  At
+# the required precision=HIGHEST the matmul path is SLOWER (r4, v5e:
+# 5.68 vs 4.37 ms fwd+grad for one 800² ssim), so shifted adds are the
+# default again.  Module-level for tools/bench_probe.py A/B
+# (--set losses.SSIM_MATMUL=1).
+SSIM_MATMUL = False
 
 
 def _band_matrix(n: int, k) -> jnp.ndarray:
@@ -51,15 +55,25 @@ def _band_matrix(n: int, k) -> jnp.ndarray:
 
 def _sep_filter2d_matmul(img: jnp.ndarray, k) -> jnp.ndarray:
     """`_sep_filter2d` twin on the MXU: rows then columns via band
-    matmuls.  Same zero 'same'-padding semantics."""
+    matmuls.  Same zero 'same'-padding semantics.
+
+    precision=HIGHEST is load-bearing, not tuning: at the TPU default
+    precision the MXU rounds f32 operands to bf16 (8-bit mantissa), and
+    SSIM's variance terms E[x²] − μ² then cancel catastrophically —
+    measured ssim ≈ 1.32 (> 1!) on the 800² rehearsal scene, which
+    poisoned the D-SSIM gradient of every 800² TPU training run from
+    round 2 until this fix (CPU matmuls are true f32, so tests and
+    small-scale drives never caught it).  preferred_element_type only
+    sets the accumulator type, not the operand rounding."""
     H, W, C = img.shape
     Bh = _band_matrix(H, k)
     Bw = _band_matrix(W, k)
-    x = jnp.dot(Bh, img.reshape(H, W * C),
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.dot(Bh, img.reshape(H, W * C), precision=hi,
                 preferred_element_type=jnp.float32).reshape(H, W, C)
     # column blur: contract W against the band (einsum keeps XLA free to
     # pick the layout; out[h,v,c] = Σ_w B[v,w]·x[h,w,c])
-    return jnp.einsum("vw,hwc->hvc", Bw, x,
+    return jnp.einsum("vw,hwc->hvc", Bw, x, precision=hi,
                       preferred_element_type=jnp.float32)
 
 
@@ -166,10 +180,13 @@ def ssim_rows_sum(img1: jnp.ndarray, img2: jnp.ndarray, r0, rows: int,
     Bh = jnp.concatenate(
         [_band_matrix(H, k), jnp.zeros((total_rows - H, H), jnp.float32)])
     Bh_rows = jax.lax.dynamic_slice(Bh, (r0, 0), (rows, H))
-    x = jnp.dot(Bh_rows, stack.reshape(H, W * 5 * C),
+    # precision=HIGHEST: see _sep_filter2d_matmul — default-precision
+    # bf16 operand rounding breaks the E[x²] − μ² variance cancellation
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.dot(Bh_rows, stack.reshape(H, W * 5 * C), precision=hi,
                 preferred_element_type=jnp.float32).reshape(rows, W, 5 * C)
     Bw = _band_matrix(W, k)
-    blurred = jnp.einsum("vw,hwc->hvc", Bw, x,
+    blurred = jnp.einsum("vw,hwc->hvc", Bw, x, precision=hi,
                          preferred_element_type=jnp.float32)
     mu1 = blurred[..., 0:C]
     mu2 = blurred[..., C:2 * C]
@@ -186,32 +203,47 @@ def ssim_rows_sum(img1: jnp.ndarray, img2: jnp.ndarray, r0, rows: int,
 
 def image_gradient_mag(data: jnp.ndarray) -> jnp.ndarray:
     """|Sobel_x| + |Sobel_y| of a single-channel [H, W] image with 'same'
-    zero padding (reference `cal_gradient`, `loss_utils.py:66-84`)."""
-    kx = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-    ky = kx.T
-    x = data[None, :, :, None]
-    dn = jax.lax.conv_dimension_numbers(
-        x.shape, (3, 3, 1, 1), ("NHWC", "HWIO", "NHWC"))
-    gx = jax.lax.conv_general_dilated(
-        x, kx.reshape(3, 3, 1, 1), (1, 1), "SAME", dimension_numbers=dn)
-    gy = jax.lax.conv_general_dilated(
-        x, ky.reshape(3, 3, 1, 1), (1, 1), "SAME", dimension_numbers=dn)
-    return (jnp.abs(gx) + jnp.abs(gy))[0, :, :, 0]
+    zero padding (reference `cal_gradient`, `loss_utils.py:66-84`).
+
+    Implemented as separable shifted adds on the 2-D array: an NHWC
+    C=1 `lax.conv` puts the image in a T(1,128) layout whose minor dim
+    is the single channel — 128x lane padding, ~330 MB of HBM traffic
+    per 800² pass (profiled at 3.7-5.8 ms per conv; ten of them made
+    the PBR smoothness losses ~65 ms of a 113 ms step).  Slices on the
+    natural [H, W] T(8,128) layout move only the real 2.6 MB.
+    """
+    p = jnp.pad(data, 1)
+    # Sobel_x = [1,2,1]^T (rows) x [-1,0,1] (cols); |.| is flip-invariant
+    sx = p[:-2, :] + 2.0 * p[1:-1, :] + p[2:, :]       # [H, W+2]
+    gx = sx[:, 2:] - sx[:, :-2]                         # [H, W]
+    sy = p[:, :-2] + 2.0 * p[:, 1:-1] + p[:, 2:]        # [H+2, W]
+    gy = sy[2:, :] - sy[:-2, :]                         # [H, W]
+    return jnp.abs(gx) + jnp.abs(gy)
+
+
+def bilateral_weight(image: jnp.ndarray) -> jnp.ndarray:
+    """exp(-|∇image|) edge weight, shared by every smoothness term on
+    the same gt image (the NeILF loss applies three of them)."""
+    return jnp.exp(-image_gradient_mag(jnp.mean(image, axis=-1)))
 
 
 def bilateral_smooth(data: jnp.ndarray, image: jnp.ndarray,
-                     mask: jnp.ndarray) -> jnp.ndarray:
+                     mask: jnp.ndarray,
+                     weight: jnp.ndarray | None = None) -> jnp.ndarray:
     """Edge-aware smoothness: mean(|∇data| * exp(-|∇image|) * mask).
 
     data/image: [H, W, C]; mask: [H, W] or [H, W, 1].
     Matches reference `bilateral_smooth_loss` (`loss_utils.py:85-96`),
-    which averages channels before taking gradients.
+    which averages channels before taking gradients.  Pass `weight`
+    (from `bilateral_weight`) to share the gt-image gradient across
+    multiple terms.
     """
-    rgb_grad = image_gradient_mag(jnp.mean(image, axis=-1))
+    if weight is None:
+        weight = bilateral_weight(image)
     data_grad = image_gradient_mag(jnp.mean(data, axis=-1))
     if mask.ndim == 3:
         mask = mask[..., 0]
-    return jnp.mean(data_grad * jnp.exp(-rgb_grad) * mask)
+    return jnp.mean(data_grad * weight * mask)
 
 
 def opacity_entropy(opacity: jnp.ndarray, mask: jnp.ndarray,

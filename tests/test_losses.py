@@ -135,3 +135,26 @@ def test_ssim_matmul_variant_matches_shifted(imgs):
     np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_ssim_bounded_and_paths_agree():
+    """ssim(x,x) == 1, ssim <= 1 on arbitrary pairs, and the MXU band-
+    matmul path equals the shifted-add path.  The r2 matmul blur at TPU
+    default precision produced ssim = 1.32 (bf16 operand rounding
+    cancels E[x²]−μ²) and silently poisoned every 800² TPU training run
+    until round 4 — bench.py re-asserts this on the real device."""
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(0, 1, (96, 80, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (96, 80, 3)).astype(np.float32))
+    assert abs(float(losses.ssim(a, a)) - 1.0) < 1e-5
+    v = float(losses.ssim(a, b))
+    assert v <= 1.0
+    old = losses.SSIM_MATMUL
+    try:
+        losses.SSIM_MATMUL = True
+        vm = float(losses.ssim(a, b))
+        losses.SSIM_MATMUL = False
+        vs = float(losses.ssim(a, b))
+    finally:
+        losses.SSIM_MATMUL = old
+    np.testing.assert_allclose(vm, vs, atol=2e-5)
