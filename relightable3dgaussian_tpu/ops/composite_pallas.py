@@ -85,6 +85,13 @@ POWER_MXU = False
 # replaces — sublane reductions are the expensive direction on the VPU.
 # Kept as the A/B harness: `tools/bench_probe.py --absweep TRIG_MIN=1,0`.
 TRIG_MIN = False
+# Pin the lane pad of the stream source [P, 6+F] -> [P, 128] BEFORE the
+# row gather with an optimization_barrier.  Without it, XLA rewrites
+# gather(pad(src)) into pad(gather(src)) — sound, but the pad then runs
+# at [cap, 128] (two ~285 MB passes at cap=557k, profiled pad.6 +
+# broadcast_select ≈ 5.2 ms/step in r4) instead of at [P, 128] (~0.3
+# ms).  A/B: `tools/bench_probe.py --set composite_pallas.STREAM_BARRIER=0`.
+STREAM_BARRIER = True
 
 
 
@@ -1221,6 +1228,9 @@ def composite_pallas(
             jnp.concatenate([xy, conic, opacity[:, None], feats],
                             axis=-1),
             ((0, 0), (0, 122 - F)))
+        if STREAM_BARRIER:
+            # keep the pad on the [P, ·] source (see flag comment)
+            packed128 = jax.lax.optimization_barrier(packed128)
         if tile_axis is None:
             img, final_t, last = _composite_stream(
                 packed128, bins.stream_ids, bins.stream_starts,
