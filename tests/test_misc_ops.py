@@ -106,3 +106,23 @@ def test_radiance_hdr_reader(tmp_path):
         f.write(rgbe.tobytes())
     img = L._read_radiance_hdr(path)
     np.testing.assert_allclose(img[..., 0], 0.5, rtol=1e-6)
+
+
+def test_radiance_hdr_writer_roundtrip():
+    """script/make_relight_config.py's .hdr writer must round-trip
+    through the native reader in models/lights.py."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "make_relight_config",
+        os.path.join(os.path.dirname(__file__), "..", "script",
+                     "make_relight_config.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from relightable3dgaussian_tpu.models.lights import _read_radiance_hdr
+    img = mod.make_env(32, 64)
+    path = "/tmp/_hdr_roundtrip_test.hdr"
+    mod.write_radiance_hdr(path, img)
+    back = _read_radiance_hdr(path)
+    err = np.abs(back - img) / (np.abs(img) + 1e-3)
+    assert err.max() < 0.02
