@@ -25,6 +25,14 @@ def main() -> None:
     ap.add_argument("--depth_min", type=float, default=1.0)
     ap.add_argument("--depth_max", type=float, default=4.0)
     ap.add_argument("--log_interval", type=int, default=25)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from params saved at --out (training "
+                         "runs in restartable chunks: long CPU sessions "
+                         "have died ~180 steps in with LLVM compile OOM "
+                         "regardless of host free memory)")
+    ap.add_argument("--start_step", type=int, default=0,
+                    help="with --resume: scene-seed offset so restarted "
+                         "chunks see fresh random scenes")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -47,6 +55,13 @@ def main() -> None:
     cfg = RasterizeConfig(width=S, height=S, max_tiles_per_gaussian=16,
                           max_per_tile=64, chunk=16)
     rng = np.random.default_rng(0)
+
+    @jax.jit
+    def _data_render(params, alive, camera):
+        res = R.render_view(params, alive, camera, jnp.zeros(3), cfg,
+                            active_sh_degree=0,
+                            compute_pseudo_normal=False)
+        return res["render"], res["opacity"], res["depth"]
 
     def random_views(seed):
         """One random splat scene rendered from 1 ref + num_src views,
@@ -77,13 +92,11 @@ def main() -> None:
                               fovy=0.9, width=S, height=S)
             camera = {k: jnp.asarray(x)
                       for k, x in cam.render_inputs().items()}
-            res = R.render_view(stp, st.alive, camera, jnp.zeros(3), cfg,
-                                active_sh_degree=0,
-                                compute_pseudo_normal=False)
-            imgs.append(np.asarray(res["render"]))
+            render, opac, depth = _data_render(stp, st.alive, camera)
+            imgs.append(np.asarray(render))
             if v == 0:
-                op = np.asarray(res["opacity"])
-                depth0 = np.asarray(res["depth"]) / np.maximum(op, 1e-6)
+                op = np.asarray(opac)
+                depth0 = np.asarray(depth) / np.maximum(op, 1e-6)
                 mask0 = op > 0.5
             cams.append(cam)
         return imgs, depth0, mask0, cams
@@ -102,6 +115,11 @@ def main() -> None:
 
     params = model.init(jax.random.PRNGKey(0), *pack(imgs, cams),
                         args.depth_min, args.depth_max)
+    if args.resume and ckpt.latest_train_snapshot is not None:
+        import os
+        if os.path.exists(args.out):
+            params = ckpt.load_train_state(args.out, params)
+            print(f"resumed MVS params from {args.out}", flush=True)
     tx = optax.adam(args.lr)
     opt = tx.init(params)
 
@@ -126,13 +144,15 @@ def main() -> None:
 
     t0 = time.time()
     for it in range(1, args.steps + 1):
-        imgs, depth0, mask0, cams = random_views(it)
+        imgs, depth0, mask0, cams = random_views(args.start_step + it)
         params, opt, loss = step(
             params, opt, *pack(imgs, cams),
             jnp.asarray(depth0), jnp.asarray(mask0))
         if it % args.log_interval == 0:
             print(f"it {it} depth-L1 {float(loss):.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if it % 100 == 0:
+            ckpt.save_train_state(args.out, params)
 
     ckpt.save_train_state(args.out, params)
     print(f"saved MVS params -> {args.out}", flush=True)
