@@ -128,10 +128,23 @@ def read_cameras_from_transforms(
             image = image[..., :3] * image[..., 3:4] + bg * (1 - image[..., 3:4])
         H, W = image.shape[:2]
         fovy = tf.focal2fov(tf.fov2focal(fovx, W), H)
+        # MVS depth/normal priors (`mvs_prepare.py` output layout;
+        # reference loads them next to the images for the
+        # lambda_depth / lambda_normal_mvs_depth losses,
+        # `dataset_readers.py:345-353`)
+        name = os.path.basename(frame["file_path"])
+        depth = normal = None
+        dpath = os.path.join(path, "extra", "depths", name + ".npy")
+        npath = os.path.join(path, "extra", "normals", name + ".npy")
+        if os.path.exists(dpath):
+            depth = np.load(dpath).astype(np.float32)
+        if os.path.exists(npath):
+            normal = np.load(npath).astype(np.float32)
         cams.append(make_camera(
             uid=idx, R=R, t=T, fovx=fovx, fovy=fovy, width=W, height=H,
             image=image.astype(np.float32), gt_alpha_mask=mask,
-            image_name=os.path.basename(frame["file_path"]),
+            depth=depth, normal=normal,
+            image_name=name,
             znear=0.01, zfar=100.0))
     return cams
 

@@ -47,6 +47,7 @@ def main() -> None:
     ap.add_argument("--lambda_mask_entropy", type=float, default=0.0)
     ap.add_argument("--lambda_normal_render_depth", type=float, default=0.0)
     ap.add_argument("--lambda_depth", type=float, default=0.0)
+    ap.add_argument("--lambda_normal_mvs_depth", type=float, default=0.0)
     ap.add_argument("--lambda_light", type=float, default=0.01)
     ap.add_argument("--lambda_base_color", type=float, default=0.005)
     ap.add_argument("--lambda_base_color_smooth", type=float, default=0.006)
@@ -153,6 +154,7 @@ def main() -> None:
         lambda_mask_entropy=args.lambda_mask_entropy,
         lambda_normal_render_depth=args.lambda_normal_render_depth,
         lambda_depth=args.lambda_depth,
+        lambda_normal_mvs_depth=args.lambda_normal_mvs_depth,
         lambda_light=args.lambda_light,
         lambda_base_color=args.lambda_base_color,
         lambda_base_color_smooth=args.lambda_base_color_smooth,
