@@ -170,6 +170,7 @@ def precompute_visibility(
     chunk: int = 4096,
     use_cells: bool | None = None,
     strict: bool = True,
+    max_rays_per_cell: int | None = None,
 ) -> jnp.ndarray:
     """Trace per-splat visibility along the deterministic fibonacci dirs
     (`update_visibility(is_bake=False)`, `relighting.py:58-86`).
@@ -209,7 +210,8 @@ def precompute_visibility(
         if cells is not None:
             out = raytrace.trace_visibility_cells(
                 o, d.reshape(-1, 3), means, sym6, opacity, normal,
-                cells, alive=state.alive)
+                cells, alive=state.alive,
+                max_rays_per_cell=max_rays_per_cell)
         else:
             out = raytrace.trace_visibility(
                 o, d.reshape(-1, 3), means, sym6, opacity, normal,
@@ -229,6 +231,27 @@ def precompute_visibility(
         out.append(vis.reshape(n, sample_num, 1))
     dropped = int(sum(jnp.asarray(d) for d in drops))
     if dropped:
+        # Adaptive lossless retry: real scenes concentrate splats
+        # (ground planes, object cores), so the default per-cell ray
+        # budget (R//10) can under-cover heavy cells.  Double the
+        # budget and re-trace until clean (each rung is one recompile)
+        # — exact, no silent overestimate, no per-scene tuning.
+        R_chunk = chunk * sample_num
+        rb = max_rays_per_cell or R_chunk // 10
+        if strict and dropped and rb < R_chunk:
+            # Doubling the budget alone OOMs after a few rungs (the
+            # per-cell eval buffers scale with Rb); halving the ray
+            # chunk alongside keeps memory ~flat — per-cell loads halve
+            # with the chunk, so the EFFECTIVE budget still doubles.
+            new_chunk = max(chunk // 2, 1)
+            rb = min(rb, new_chunk * sample_num)
+            print(f"precompute_visibility: {dropped} pairs over budget; "
+                  f"retrying with max_rays_per_cell={rb} "
+                  f"chunk={new_chunk}", flush=True)
+            return precompute_visibility(
+                state, sample_num=sample_num, chunk=new_chunk,
+                use_cells=use_cells, strict=strict,
+                max_rays_per_cell=rb)
         msg = (f"precompute_visibility: {dropped} (ray, cell) pairs "
                "beyond max_rays_per_cell — visibility overestimated; "
                "raise the budget or lower the trace chunk")
@@ -265,24 +288,43 @@ def render_composite(
     incidents = G.get_incidents(p)
     viewdirs = tf.normalize(camera["campos"][None, :] - p.xyz)
 
-    dirs = brdf.sample_incident_dirs(normal, sample_num)
-    env_light = L.direct_light(env, dirs, transform=light_transform)
+    # Per-splat shading in CHUNKS over splats: at relighting scale the
+    # [N, S, 3] incident dirs + 4-tap env gathers + dense render
+    # equation peak at several GB for N=131k, S=384 — the reference
+    # chunks its python render equation the same way
+    # (`neilf_composite.py:104-127`).
+    N = p.capacity
+    CH = min(8192, N)
+    nch = (N + CH - 1) // CH
+    Np = nch * CH          # pad to the chunk grid, slice back after
+
     if visibility_precomp is None:
-        visibility_precomp = jnp.ones_like(env_light[..., :1])
+        visibility_precomp = jnp.ones((N, sample_num, 1), jnp.float32)
 
-    pbr_color, extras = brdf.rendering_equation(
-        base_color, roughness, metallic, normal, viewdirs, incidents,
-        incident_dirs=dirs,
-        incident_lights_precomp=env_light,
-        visibility_precomp=visibility_precomp)
+    def shade(args):
+        nrm, bc, rg, mt, inc, vd, vp = args
+        dirs = brdf.sample_incident_dirs(nrm, sample_num)
+        el = L.direct_light(env, dirs, transform=light_transform)
+        pbr, ex = brdf.rendering_equation(
+            bc, rg, mt, nrm, vd, inc,
+            incident_dirs=dirs,
+            incident_lights_precomp=el,
+            visibility_precomp=vp)
+        return jnp.concatenate(
+            [rg, mt, ex["mean_visibility"], pbr, nrm, bc,
+             ex["mean_incident_lights"], ex["mean_local_lights"],
+             ex["mean_global_lights"]], axis=-1)
 
-    feats = jnp.concatenate(
-        [roughness, metallic,
-         extras["mean_visibility"],
-         pbr_color, normal, base_color,
-         extras["mean_incident_lights"],
-         extras["mean_local_lights"],
-         extras["mean_global_lights"]], axis=-1)
+    def resh(x):
+        if Np != N:
+            x = jnp.concatenate(
+                [x, jnp.zeros((Np - N,) + x.shape[1:], x.dtype)])
+        return x.reshape(nch, CH, *x.shape[1:])
+
+    feats = jax.lax.map(shade, (
+        resh(normal), resh(base_color), resh(roughness), resh(metallic),
+        resh(incidents), resh(viewdirs),
+        resh(visibility_precomp))).reshape(Np, -1)[:N]
 
     out = rasterize(
         means3d=attrs["means3d"], scales=attrs["scales"],

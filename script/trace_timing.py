@@ -23,6 +23,9 @@ def main() -> None:
     ap.add_argument("--capacity", type=int, default=2 ** 19)
     ap.add_argument("--sample_num", type=int, default=384)
     ap.add_argument("--chunk", type=int, default=4096)
+    ap.add_argument("--rays_per_cell_frac", type=int, default=10,
+                    help="max_rays_per_cell = chunk_rays // this; lower "
+                         "divisor = bigger (safer) budget")
     ap.add_argument("--ply", default=None,
                     help="time on a trained PLY instead of a synth cloud")
     ap.add_argument("--cpu", action="store_true")
@@ -65,8 +68,11 @@ def main() -> None:
               flush=True)
 
     t0 = time.time()
+    chunk_eff = max(1, min(args.chunk, 32_768 // args.sample_num))
+    rb = (chunk_eff * args.sample_num) // args.rays_per_cell_frac
     vis = compose.precompute_visibility(
-        state, sample_num=args.sample_num, chunk=args.chunk, strict=True)
+        state, sample_num=args.sample_num, chunk=args.chunk, strict=True,
+        max_rays_per_cell=rb)
     vis.block_until_ready()
     dt = time.time() - t0
     # report both: capacity-based rays/s is what the chunked kernel
