@@ -115,11 +115,10 @@ def main() -> None:
 
     params = model.init(jax.random.PRNGKey(0), *pack(imgs, cams),
                         args.depth_min, args.depth_max)
-    if args.resume and ckpt.latest_train_snapshot is not None:
-        import os
-        if os.path.exists(args.out):
-            params = ckpt.load_train_state(args.out, params)
-            print(f"resumed MVS params from {args.out}", flush=True)
+    import os
+    if args.resume and os.path.exists(args.out):
+        params = ckpt.load_train_state(args.out, params)
+        print(f"resumed MVS params from {args.out}", flush=True)
     tx = optax.adam(args.lr)
     opt = tx.init(params)
 

@@ -238,12 +238,16 @@ def precompute_visibility(
         # — exact, no silent overestimate, no per-scene tuning.
         R_chunk = chunk * sample_num
         rb = max_rays_per_cell or R_chunk // 10
-        if strict and dropped and rb < R_chunk:
-            # Doubling the budget alone OOMs after a few rungs (the
-            # per-cell eval buffers scale with Rb); halving the ray
-            # chunk alongside keeps memory ~flat — per-cell loads halve
-            # with the chunk, so the EFFECTIVE budget still doubles.
-            new_chunk = max(chunk // 2, 1)
+        # Doubling the budget alone OOMs after a few rungs (the
+        # per-cell eval buffers scale with Rb); halving the ray
+        # chunk alongside keeps memory ~flat — per-cell loads halve
+        # with the chunk, so the EFFECTIVE budget still doubles.
+        # Retry only while it makes progress (chunk still halvable):
+        # at chunk == 1 the recursive args would repeat verbatim and
+        # re-trace the whole scene each level — fall through to the
+        # strict ValueError instead.
+        new_chunk = max(chunk // 2, 1)
+        if strict and dropped and rb < R_chunk and new_chunk < chunk:
             rb = min(rb, new_chunk * sample_num)
             print(f"precompute_visibility: {dropped} pairs over budget; "
                   f"retrying with max_rays_per_cell={rb} "

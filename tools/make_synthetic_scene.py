@@ -187,8 +187,12 @@ def main() -> None:
             # alpha into gt_alpha_mask (mask-entropy loss) and
             # composites `rgb*a + bg*(1-a)` (`dataset_readers.py:126-128`)
             # — i.e. it expects UN-premultiplied color, while `render`
-            # is the premultiplied blend over black; divide alpha out.
-            un = img / np.maximum(a[..., None], 1e-4)
+            # is the blend over bg: rgb*a + bg*(1-a).  Un-premultiply
+            # against the ACTUAL render background (white runs would
+            # otherwise come out over-bright wherever a < 1).
+            bg_np = np.asarray(bg, np.float32)
+            un = (img - bg_np * (1.0 - a[..., None])) \
+                / np.maximum(a[..., None], 1e-4)
             rgba = np.concatenate([np.clip(un, 0, 1), a[..., None]], -1)
             name = f"r_{i}" if split == "train" else f"r_{i - args.views}"
             Image.fromarray((rgba * 255 + 0.5).astype(np.uint8)).save(
