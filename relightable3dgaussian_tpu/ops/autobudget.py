@@ -41,6 +41,11 @@ class BudgetStats(NamedTuple):
     rect_slots: int = 0  # total rect-area slots (offset-expansion cap
                          # demand: includes the corner tiles the exact
                          # circle test later discards)
+    # Deepest per-tile counts, descending, maxed elementwise over the
+    # sample cameras (an upper bound on any one camera's tail) — sizes
+    # the K-overflow continuation when max_per_tile exceeds the stream
+    # kernels' VMEM K ceiling.
+    top_counts: tuple = ()
 
 
 def _round_up(x: int, m: int) -> int:
@@ -61,9 +66,10 @@ def _measure_tiles(means3d, scales, rotations, opacities, alive, camera,
     return jnp.max(tt), jnp.sum(tt)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "cap"))
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "cap", "topn"))
 def _measure_counts(means3d, scales, rotations, opacities, alive, camera,
-                    *, width, height, cap):
+                    *, width, height, cap, topn=1024):
     proj = projection.preprocess(
         means3d, scales, rotations, opacities, alive,
         camera["w2c"], camera["full_proj"], camera["campos"],
@@ -83,7 +89,8 @@ def _measure_counts(means3d, scales, rotations, opacities, alive, camera,
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32),
         side="left")
     counts = boundaries[1:] - boundaries[:-1]
-    return jnp.max(counts), num_instances, dropped
+    top = jax.lax.top_k(counts, min(topn, counts.shape[0]))[0]
+    return top, num_instances, dropped
 
 
 def measure(
@@ -109,16 +116,21 @@ def measure(
         rect_slots = max(rect_slots, int(slots))
     # One cap for every camera's count pass → a single compile.
     cap = _round_up(rect_slots, 1 << 16)
+    import numpy as _np
+    top_acc = None
     for cam in cameras:
         cam = {k: jnp.asarray(v) for k, v in cam.items()}
-        mc, ni, dropped = _measure_counts(
+        top, ni, dropped = _measure_counts(
             means3d, scales, rotations, opacities, alive, cam,
             width=width, height=height, cap=cap)
         assert int(dropped) == 0  # cap covers the exact rect-slot total
-        max_count = max(max_count, int(mc))
+        top = _np.asarray(top)
+        top_acc = top if top_acc is None else _np.maximum(top_acc, top)
+        max_count = max(max_count, int(top[0]))
         num_inst = max(num_inst, int(ni))
     return BudgetStats(max_tiles=max_tiles, max_per_tile=max_count,
-                       num_instances=num_inst, rect_slots=rect_slots)
+                       num_instances=num_inst, rect_slots=rect_slots,
+                       top_counts=tuple(int(c) for c in top_acc))
 
 
 def derive(
@@ -164,6 +176,7 @@ def derive(
             backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
         single_chunk = backend == "pallas"
     k_demand = _round_up(int(stats.max_per_tile * hk), 8)
+    vmem_capped = False
     if single_chunk and k_demand <= single_chunk_max:
         chunk = k = min(k_demand, max_k)
     else:
@@ -173,12 +186,26 @@ def derive(
             # pallas stream kernels: window scratch is 2·TB·K·128 f32
             # per direction — K past ~1152 blows the 16 MB scoped-VMEM
             # limit (measured: K=1536 → 16.5 MB).  Depth layers beyond
-            # the cap sit behind a saturated transmittance and are
-            # dropped AND counted (dropped_tile; the controller logs
-            # once and pins the budget).
-            max_k = min(max_k, stream_k_max)
+            # the cap are covered by the K-overflow continuation
+            # (overflow_rounds/overflow_tiles below) — exact at any
+            # depth complexity, like the reference's num_rendered-
+            # sized allocation.
+            if max_k > stream_k_max:
+                max_k = stream_k_max
+                vmem_capped = True
         max_k = max((max_k // chunk) * chunk, chunk)
         k = min(_round_up(k_demand, chunk), max_k)
+    # K pinned below the measured demand → size the continuation from
+    # the per-tile count tail: rounds to cover the deepest tile, slots
+    # (with 2x headroom) for every tile whose demand exceeds K.
+    overflow_rounds = overflow_tiles = 0
+    if (single_chunk and k < k_demand and stats.top_counts):
+        overflow_rounds = min(-(-(k_demand - k) // k), 8)
+        n_over = sum(1 for c in stats.top_counts
+                     if _round_up(int(c * hk), 8) > k)
+        overflow_tiles = min(_round_up(max(2 * n_over, 8), 8),
+                             cfg.grid[0] * cfg.grid[1],
+                             2 * len(stats.top_counts))
     gx, gy = cfg.grid
     if offset_mode:
         # the expansion cap must hold every rect-area slot (corner
@@ -187,9 +214,22 @@ def derive(
     else:
         cap = min(_round_up(int(stats.num_instances * hc), 8192),
                   gx * gy * k)
-    return dataclasses.replace(
+    if overflow_rounds:
+        # the stream prefix must hold the deep tiles' FULL segments
+        cap = max(cap, min(_round_up(int(stats.num_instances * hc), 8192),
+                           gx * gy * k * (1 + overflow_rounds)))
+    new = dataclasses.replace(
         cfg, max_tiles_per_gaussian=m, max_per_tile=k, chunk=chunk,
-        stream_cap=cap, expansion="offset" if offset_mode else "dense")
+        stream_cap=cap, expansion="offset" if offset_mode else "dense",
+        overflow_rounds=overflow_rounds, overflow_tiles=overflow_tiles)
+    if overflow_rounds:
+        reason = ("VMEM stream-window ceiling"
+                  if vmem_capped else f"max_k={max_k}")
+        print(f"[autobudget] K demand {k_demand} > K={k} ({reason}); "
+              f"continuation rounds={overflow_rounds} "
+              f"tiles={overflow_tiles} keeps rasterization lossless",
+              flush=True)
+    return new
 
 
 def needs_recalibration(stats: dict) -> bool:
@@ -265,24 +305,41 @@ class BudgetController:
         # Budgets only grow — an overflow means the measured sample
         # under-covers the live distribution, so never hand back slack.
         k = max(new.max_per_tile, old.max_per_tile)
-        # dropped_tile counts depth layers beyond K.  When K is already
-        # pinned (stream_k_max VMEM cap) no cfg change can reduce it —
-        # recalibrating anyway would re-jit every check (the derived
-        # stream_cap keeps creeping with densification) for zero
-        # benefit.  Keep the cfg and log the bounded, counted loss.
+        # dropped_tile counts depth layers beyond base + continuation
+        # coverage.  When K is pinned (stream_k_max VMEM cap) the
+        # continuation config (overflow_rounds/tiles) is what grows —
+        # derive() already sized it from the fresh per-tile count tail.
         only_tile = (int(stats.get("dropped_tile", 0)) > 0 and all(
             int(stats.get(c, 0)) == 0 for c in
             ("dropped_rect", "dropped_stream", "dropped_grad")))
-        if only_tile and k == old.max_per_tile:
-            # k == old.max_per_tile means the calibration sample could
-            # not derive a larger K — either the stream_k_max VMEM cap
-            # or simply a sampling shortfall; don't claim the hard cap
-            # unless that's provable from here.
-            self.log(f"[autobudget] dropped_tile="
-                     f"{int(stats['dropped_tile'])} persists; K={k} not "
-                     f"growable from the calibration sample (VMEM cap "
-                     f"or sample shortfall); keeping cfg (no re-jit)")
-            return False
+        ov_r = max(new.overflow_rounds, old.overflow_rounds)
+        ov_t = max(new.overflow_tiles, old.overflow_tiles)
+        if (only_tile and k == old.max_per_tile
+                and ov_r == old.overflow_rounds
+                and ov_t == old.overflow_tiles):
+            if ov_r > 0:
+                # Continuation active yet instances still dropped: the
+                # live tile-count tail outruns the calibration sample —
+                # force one more round + more slots rather than train
+                # lossily until the sample catches up.
+                ov_r += 1
+                ov_t = min(ov_t * 2,
+                           old.grid[0] * old.grid[1])
+                self.log(f"[autobudget] dropped_tile="
+                         f"{int(stats['dropped_tile'])} persists at "
+                         f"rounds={old.overflow_rounds}; forcing "
+                         f"rounds={ov_r} tiles={ov_t}")
+            else:
+                # K unchanged and no continuation derived: the sample
+                # under-covers the live cameras (a pure sampling
+                # shortfall — a VMEM-capped K would have produced a
+                # continuation config).  Keep cfg, log precisely.
+                self.log(f"[autobudget] dropped_tile="
+                         f"{int(stats['dropped_tile'])} persists; K={k} "
+                         f"not growable from the calibration sample "
+                         f"(sampling shortfall — live cameras exceed "
+                         f"the measured tail); keeping cfg (no re-jit)")
+                return False
         # keep single-chunk mode aligned with the grown K
         chunk = k if new.chunk == new.max_per_tile else new.chunk
         self.cfg = dataclasses.replace(
@@ -290,6 +347,7 @@ class BudgetController:
             max_tiles_per_gaussian=max(new.max_tiles_per_gaussian,
                                        old.max_tiles_per_gaussian),
             max_per_tile=k, chunk=chunk,
+            overflow_rounds=ov_r, overflow_tiles=ov_t,
             stream_cap=max(new.stream_cap or 0, old.stream_cap or 0)
             or None)
         if self.cfg == old:

@@ -49,6 +49,15 @@ class TileBins(NamedTuple):
     stream_starts: jnp.ndarray | None = None  # [T] int32
     stream_ids: jnp.ndarray | None = None     # [T*K] int32
     dropped_stream: jnp.ndarray | None = None  # [] int32 beyond-cap rows
+    # K-overflow continuation aux (stream mode, overflow_tiles > 0):
+    # the OT deepest tiles by instance count; the compositor resumes
+    # them over extra K-windows of their stream segments so per-tile
+    # depth complexity beyond K composites exactly (the reference is
+    # exact at any depth, `rasterizer_impl.cu:343-384`).
+    ov_tiles: jnp.ndarray | None = None   # [OT] int32 tile ids (distinct)
+    ov_starts: jnp.ndarray | None = None  # [OT] int32 segment starts
+    ov_counts: jnp.ndarray | None = None  # [OT] int32 full (unclamped-by-
+                                          # K) in-stream segment lengths
 
 
 def expand_instance_keys(
@@ -229,6 +238,8 @@ def bin_splats(
     stream: bool = False,
     stream_cap: int | None = None,
     expansion: str = "dense",
+    overflow_tiles: int = 0,
+    overflow_rounds: int = 0,
 ) -> TileBins:
     """Build the dense per-tile splat lists.
 
@@ -283,18 +294,45 @@ def bin_splats(
         # prefix holds every surviving instance; overflow beyond it is
         # counted (those tiles render from clamped windows).
         icap = stream_cap if stream_cap is not None else num_tiles * K
-        dropped_tile = jnp.sum(jnp.maximum(counts - K, 0))
         dropped_stream = jnp.maximum(boundaries[-1] - icap, 0)
         sstarts = jnp.minimum(starts, icap)
         scounts = jnp.minimum(jnp.minimum(counts, K),
                               icap - sstarts)
+        ov_tiles = ov_starts = ov_counts = None
+        base_drop = jnp.sum(jnp.maximum(counts - K, 0))
+        if overflow_tiles > 0:
+            # Continuation aux: the OT deepest tiles (full in-stream
+            # segment lengths — clamped by the stream cap, never by K).
+            # Tiles whose count fits in K land in the set harmlessly
+            # (their continuation windows come out empty).  dropped_tile
+            # then counts only instances beyond base + continuation
+            # coverage — the counter the trainer asserts to zero.
+            fullc = jnp.minimum(counts, jnp.maximum(icap - sstarts, 0))
+            ovc, ov_tiles = jax.lax.top_k(
+                fullc, min(overflow_tiles, num_tiles))
+            ov_tiles = ov_tiles.astype(jnp.int32)
+            ov_starts = jnp.take(sstarts, ov_tiles)
+            # ASCENDING segment-start order: the backward stream
+            # kernel's overlap handling relies on windows being written
+            # in ascending-start order (a later window's real rows must
+            # land after an earlier window's zero tail).
+            order = jnp.argsort(ov_starts)
+            ov_tiles = jnp.take(ov_tiles, order)
+            ov_starts = jnp.take(ov_starts, order)
+            ov_counts = jnp.take(ovc, order)
+            covered_extra = jnp.sum(jnp.minimum(
+                jnp.maximum(ovc - K, 0), overflow_rounds * K))
+            dropped_tile = base_drop - covered_extra
+        else:
+            dropped_tile = base_drop
         sids = id_sorted[:icap] if id_sorted.shape[0] >= icap else \
             jnp.pad(id_sorted, (0, icap - id_sorted.shape[0]))
         return TileBins(
             idx=None, mask=None, counts=scounts,
             num_instances=num_instances, dropped_rect=dropped_rect,
             dropped_tile=dropped_tile, stream_starts=sstarts,
-            stream_ids=sids, dropped_stream=dropped_stream)
+            stream_ids=sids, dropped_stream=dropped_stream,
+            ov_tiles=ov_tiles, ov_starts=ov_starts, ov_counts=ov_counts)
 
     # --- dense [T, K] lists: one windowed dynamic-slice gather per tile
     # (K consecutive elements starting at starts[t]) — wide contiguous

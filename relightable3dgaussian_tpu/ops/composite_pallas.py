@@ -85,6 +85,16 @@ POWER_MXU = False
 # replaces — sublane reductions are the expensive direction on the VPU.
 # Kept as the A/B harness: `tools/bench_probe.py --absweep TRIG_MIN=1,0`.
 TRIG_MIN = False
+# Statically UNROLL the per-chunk loops when nchunks <= UNROLL_MAX
+# (0 = off -> lax.while_loop / fori_loop).  Chunking at C < K cuts the
+# prefix-sum tri-matmul FLOPs ~(K/C)x ([C,C]x[C,P2] per chunk vs
+# [K,K]x[K,P2]), but the r3 chunk sweep measured the while_loop's
+# per-iteration control overhead eating that win; a static unroll is
+# straight-line code with the small-C cumsums and no carry-dependent
+# control.  Chunks past a tile's count compute fully-masked zeros
+# (identical results; the dynamic loop skipped them).
+# A/B: `tools/bench_probe.py --set composite_pallas.UNROLL_MAX=8`.
+UNROLL_MAX = 0
 # Pin the lane pad of the stream source [P, 6+F] -> [P, 128] BEFORE the
 # row gather with an optimization_barrier.  Without it, XLA rewrites
 # gather(pad(src)) into pad(gather(src)) — sound, but the pad then runs
@@ -258,7 +268,19 @@ def _fwd_chunk_math(data_ref, tb, c, C, F, count, ox, oy, plx, ply, V,
 def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
                       last_ref, ckpt_t_ref, ckpt_s_ref, tb,
                       *, C: int, F: int, nchunks: int, gx: int,
-                      track: bool = True):
+                      track: bool = True, stop_ref=None,
+                      entry_t_ref=None, entry_s_ref=None):
+    """One tile's forward sweep.
+
+    `entry_t_ref`/`entry_s_ref` ([TB, 1, P2] log-transmittance and 0/1
+    stopped flags) resume compositing mid-stream: the carry starts from
+    that state instead of (0, nothing-stopped), so a K-overflow
+    continuation pass over a tile's stream-segment tail is EXACTLY the
+    suffix of one long single-pass sweep — same triggers, same weights
+    (w = alpha * global T).  `stop_ref` exports the exit stopped flags
+    so the next continuation round can consume them.  This is the
+    losslessness mechanism the CUDA reference gets from exact
+    `num_rendered` allocation (`rasterizer_impl.cu:343-384`)."""
     row = pl.program_id(0) * TB + tb
     tile_id = tids_ref[row]
     ox = ((tile_id % gx) * TILE).astype(jnp.float32)
@@ -275,7 +297,7 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
                 preferred_element_type=jnp.float32)
         return jnp.sum(la, axis=0)[None, :]
 
-    if nchunks == 1:
+    if nchunks == 1 and entry_t_ref is None:
         # Single-chunk specialization (C == K): the entry state is
         # statically known (logT = 0, nothing stopped), so there is no
         # loop, no carry, and no checkpoint traffic — straight-line
@@ -286,7 +308,7 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
         # loop's skip produced.
         ckpt_t_ref[tb] = jnp.zeros((1, P2), jnp.float32)
         ckpt_s_ref[tb] = jnp.zeros((1, P2), jnp.float32)
-        feat, alpha, la_all, t_before, applied, _, k_iota = \
+        feat, alpha, la_all, t_before, applied, any_trig, k_iota = \
             _fwd_chunk_math(data_ref, tb, 0, C, F, count, ox, oy,
                             plx, ply, V, None, None)
         la = jnp.where(applied, la_all, 0.0)
@@ -300,6 +322,8 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
                 jnp.where(applied, k_iota + 1, 0), axis=0)[None, :]
         else:
             last_ref[tb] = jnp.zeros((1, P2), jnp.int32)
+        if stop_ref is not None:
+            stop_ref[tb] = any_trig.astype(jnp.float32)[None, :]
         return
 
     # Per-chunk entry checkpoints (logT, stopped) streamed to the backward
@@ -309,8 +333,8 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
     ckpt_t_ref[tb] = jnp.zeros((nchunks, P2), jnp.float32)
     ckpt_s_ref[tb] = jnp.full((nchunks, P2), 2.0, jnp.float32)
 
-    def body(carry):
-        c, log_t, stopped_f, accum, last = carry
+    def fwd_step(c, log_t, stopped_f, accum, last):
+        """One chunk; `c` may be a static int (unrolled) or traced."""
         stopped = stopped_f > 0.5
         ckpt_t_ref[tb, pl.ds(c, 1), :] = log_t
         ckpt_s_ref[tb, pl.ds(c, 1), :] = stopped_f
@@ -338,7 +362,11 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
             contrib = jnp.max(
                 jnp.where(applied, c * C + k_iota + 1, 0), axis=0)
             last = jnp.maximum(last, contrib[None, :])
-        return c + 1, log_t, stopped.astype(jnp.float32), accum, last
+        return log_t, stopped.astype(jnp.float32), accum, last
+
+    def body(carry):
+        c = carry[0]
+        return (c + 1,) + fwd_step(c, *carry[1:])
 
     def cond(carry):
         c = carry[0]
@@ -346,15 +374,28 @@ def _forward_one_tile(counts_ref, tids_ref, data_ref, img_ref, t_ref,
         return (c * C < count) & (c < nchunks) & (jnp.min(stopped_f) < 0.5)
 
     init = (jnp.int32(0),
-            jnp.zeros((1, P2), jnp.float32),
-            jnp.zeros((1, P2), jnp.float32),
+            jnp.zeros((1, P2), jnp.float32) if entry_t_ref is None
+            else entry_t_ref[tb],
+            jnp.zeros((1, P2), jnp.float32) if entry_s_ref is None
+            else entry_s_ref[tb],
             jnp.zeros((P2, F), jnp.float32),
             jnp.zeros((1, P2), jnp.int32))
-    _, log_t, _, accum, last = jax.lax.while_loop(cond, body, init)
+    if 1 < nchunks <= UNROLL_MAX and entry_t_ref is None:
+        # static unroll: chunks past count / past full-stop compute
+        # fully-masked zeros — bit-identical results, no dynamic control
+        state = init[1:]
+        for c in range(nchunks):
+            state = fwd_step(c, *state)
+        log_t, stopped_f, accum, last = state
+    else:
+        _, log_t, stopped_f, accum, last = jax.lax.while_loop(
+            cond, body, init)
 
     img_ref[tb] = accum
     t_ref[tb] = jnp.exp(log_t)
     last_ref[tb] = last
+    if stop_ref is not None:
+        stop_ref[tb] = stopped_f
 
 
 def _backward_kernel(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
@@ -372,7 +413,13 @@ def _backward_kernel(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
 def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
                        ft_ref, ckpt_t_ref, ckpt_s_ref, gdata_ref, tb,
                        *, C: int, F: int, nchunks: int, gx: int,
-                       tiled: bool = False, gtb: int | None = None):
+                       tiled: bool = False, gtb: int | None = None,
+                       g_entry_ref=None):
+    """`g_entry_ref` ([TB, 1, P2], resume passes only): receives
+    dL/d(entry logT) — the reverse sweep's final g_log_t, which the
+    chain rule routes to the producing pass's final_t.  The forward's
+    checkpoints already hold the entry state at chunk 0, so the sweep
+    itself is unchanged."""
     gtb = tb if gtb is None else gtb
     row = pl.program_id(0) * TB + tb
     tile_id = tids_ref[row]
@@ -511,7 +558,7 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
         g_log_t_new = total + g_log_t
         return g_log_t_new
 
-    if nchunks == 1:
+    if nchunks == 1 and g_entry_ref is None:
         # single-chunk specialization: no checkpoint reads, no reverse
         # loop — one straight-line pass with the known entry state.
         # Empty (padding) tiles produce all-zero gradient rows, same as
@@ -519,19 +566,31 @@ def _backward_one_tile(counts_ref, tids_ref, data_ref, gimg_ref, gt_ref,
         bwd_chunk(0, None, None, g_log_t0)
         return
 
-    entry_mins = jnp.min(ckpt_s_ref[tb], axis=1, keepdims=True)  # [nc, 1]
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nchunks, 1), 0)
-    n_done = jnp.sum(((entry_mins < 0.5) & (c_iota * C < count))
-                     .astype(jnp.int32))
-
     # ---- reverse sweep over the forward's per-chunk entry checkpoints ----
-    def bbody(i, g_log_t):
-        c = n_done - 1 - i
+    def bbody_at(c, g_log_t):
         log_t = ckpt_t_ref[tb, pl.ds(c, 1), :].reshape(1, P2)
         stopped = ckpt_s_ref[tb, pl.ds(c, 1), :].reshape(1, P2) > 0.5
         return bwd_chunk(c, log_t, stopped, g_log_t)
 
-    jax.lax.fori_loop(0, n_done, bbody, g_log_t0)
+    if 1 < nchunks <= UNROLL_MAX and g_entry_ref is None:
+        # static unroll: never-reached chunks carry the stopped=2.0
+        # checkpoint sentinel -> fully-masked zeros, g_log_t unchanged
+        g_final = g_log_t0
+        for c in reversed(range(nchunks)):
+            g_final = bbody_at(c, g_final)
+    else:
+        entry_mins = jnp.min(ckpt_s_ref[tb], axis=1,
+                             keepdims=True)                  # [nc, 1]
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (nchunks, 1), 0)
+        n_done = jnp.sum(((entry_mins < 0.5) & (c_iota * C < count))
+                         .astype(jnp.int32))
+        g_final = jax.lax.fori_loop(
+            0, n_done, lambda i, g: bbody_at(n_done - 1 - i, g),
+            g_log_t0)
+    if g_entry_ref is not None:
+        # n_done == 0 (fully stopped / empty at entry) degenerates to
+        # g_log_t0 = g_t * final_t — exactly d(exp(entry))/d(entry).
+        g_entry_ref[tb] = g_final
 
 
 # ---------------------------------------------------------------------
@@ -908,31 +967,44 @@ def _stream_windows(starts_ref, rows_ref, scratch, sems):
 
 
 def _forward_stream_kernel(counts_ref, tids_ref, starts_ref, rows_ref,
-                           img_ref, t_ref, last_ref, ckpt_t_ref,
-                           ckpt_s_ref, scratch, sems,
-                           *, C: int, F: int, K: int, gx: int,
-                           track: bool = True):
+                           *rest, C: int, F: int, K: int, gx: int,
+                           track: bool = True, resume: bool = False):
+    if resume:
+        (entry_t_ref, entry_s_ref, img_ref, t_ref, last_ref, stop_ref,
+         ckpt_t_ref, ckpt_s_ref, scratch, sems) = rest
+    else:
+        (img_ref, t_ref, last_ref, stop_ref, ckpt_t_ref, ckpt_s_ref,
+         scratch, sems) = rest
+        entry_t_ref = entry_s_ref = None
     nchunks = K // C
     cur = _stream_windows(starts_ref, rows_ref, scratch, sems)
     for tb in range(TB):
         _forward_one_tile(counts_ref, tids_ref, scratch.at[cur], img_ref,
                           t_ref, last_ref, ckpt_t_ref, ckpt_s_ref,
                           tb, C=C, F=F, nchunks=nchunks, gx=gx,
-                          track=track)
+                          track=track, stop_ref=stop_ref,
+                          entry_t_ref=entry_t_ref,
+                          entry_s_ref=entry_s_ref)
 
 
 def _backward_stream_kernel(counts_ref, tids_ref, starts_ref, rows_ref,
                             gimg_ref, gt_ref, ft_ref, ckpt_t_ref,
-                            ckpt_s_ref, gout_ref, scratch, sems,
-                            gbuf, wsem, *, C: int, F: int, K: int,
-                            gx: int):
+                            ckpt_s_ref, *rest, C: int, F: int, K: int,
+                            gx: int, resume: bool = False):
     """Backward with STREAM-POSITIONED gradient output: tile t's [K, D]
     gradient rows are DMA'd to gout[starts[t] : starts[t]+K], so the
     flat output aligns with stream_ids (the scatter targets).  Windows
     of consecutive tiles overlap by K - count rows; writes are strictly
     ordered (wait the previous write before starting the next), so the
     later owner's rows always land last — zero tails never clobber a
-    neighbour that wrote after them."""
+    neighbour that wrote after them.
+
+    With `resume` a second output receives dL/d(entry logT)."""
+    if resume:
+        gout_ref, gentry_ref, scratch, sems, gbuf, wsem = rest
+    else:
+        gout_ref, scratch, sems, gbuf, wsem = rest
+        gentry_ref = None
     nchunks = K // C
     s = pl.program_id(0)
     nsteps = pl.num_programs(0)
@@ -943,7 +1015,7 @@ def _backward_stream_kernel(counts_ref, tids_ref, starts_ref, rows_ref,
                            gimg_ref, gt_ref, ft_ref, ckpt_t_ref,
                            ckpt_s_ref, gbuf.at[buf], tb, C=C, F=F,
                            nchunks=nchunks, gx=gx, gtb=0,
-                           tiled="pad128")
+                           tiled="pad128", g_entry_ref=gentry_ref)
         row = s * TB + tb
         w = pltpu.make_async_copy(
             gbuf.at[buf, 0], gout_ref.at[pl.ds(starts_ref[row], K)],
@@ -975,7 +1047,8 @@ def _pad_tb(T0, *arrays):
 
 
 def _stream_rows_impl(rows, starts, counts, tile_ids,
-                      grid, chunk, F, K, track=True, *, want_ckpt=False):
+                      grid, chunk, F, K, track=True, *, want_ckpt=False,
+                      entry_t=None, entry_s=None):
     """Forward stream kernels on prebuilt instance rows.
 
     `rows`: [N + K, 128] — a tile-major depth-sorted instance stream of
@@ -983,24 +1056,39 @@ def _stream_rows_impl(rows, starts, counts, tile_ids,
     window of the global stream under tile sharding, or the routed TP
     all-to-all's merged receive stream), padded with K overshoot rows so
     every window read [starts[t], starts[t] + K) stays in bounds
-    (callers guarantee starts[t] <= N)."""
+    (callers guarantee starts[t] <= N).
+
+    `entry_t`/`entry_s` ([Tl, P2] f32): resume each tile from that
+    (log-transmittance, stopped) state — the K-overflow continuation.
+    Returns (img, final_t, last, stopped); `stopped` [Tl, P2] f32 0/1
+    exports the exit stop flags for the next continuation round."""
     gx, gy = grid
     T0 = counts.shape[0]
-    T, (counts, tile_ids, starts) = _pad_tb(T0, counts, tile_ids, starts)
+    resume = entry_t is not None
+    if resume:
+        entry_t = entry_t.reshape(T0, 1, P2)
+        entry_s = entry_s.reshape(T0, 1, P2)
+        T, (counts, tile_ids, starts, entry_t, entry_s) = _pad_tb(
+            T0, counts, tile_ids, starts, entry_t, entry_s)
+    else:
+        T, (counts, tile_ids, starts) = _pad_tb(T0, counts, tile_ids,
+                                                starts)
     nchunks = K // chunk
     kern = functools.partial(_forward_stream_kernel, C=chunk, F=F, K=K,
-                             gx=gx, track=track)
+                             gx=gx, track=track, resume=resume)
+    tile_block = pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
+                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T // TB,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + ([tile_block, tile_block] if resume else []),
         out_specs=[
             pl.BlockSpec((TB, P2, F), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tile_block,
+            tile_block,
+            tile_block,
             pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
@@ -1011,19 +1099,21 @@ def _stream_rows_impl(rows, starts, counts, tile_ids,
             pltpu.SemaphoreType.DMA((2, TB)),
         ],
     )
-    img, final_t, last, ckpt_t, ckpt_s = pl.pallas_call(
+    img, final_t, last, stop, ckpt_t, ckpt_s = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, P2, F), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P2), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P2), jnp.int32),
+            jax.ShapeDtypeStruct((T, 1, P2), jnp.float32),
             jax.ShapeDtypeStruct((T, nchunks, P2), jnp.float32),
             jax.ShapeDtypeStruct((T, nchunks, P2), jnp.float32),
         ],
-    )(counts, tile_ids, starts, rows)
+    )(counts, tile_ids, starts, rows,
+      *([entry_t, entry_s] if resume else []))
     out = (img[:T0], final_t.reshape(T, P2)[:T0],
-           last.reshape(T, P2)[:T0])
+           last.reshape(T, P2)[:T0], stop.reshape(T, P2)[:T0])
     if want_ckpt:
         return out, (final_t, ckpt_t, ckpt_s)
     return out
@@ -1033,7 +1123,7 @@ def _stream_rows_impl(rows, starts, counts, tile_ids,
 def _composite_stream_rows(rows, starts, counts, tile_ids,
                            grid, chunk, F, K, track=True):
     return _stream_rows_impl(rows, starts, counts, tile_ids,
-                             grid, chunk, F, K, track)
+                             grid, chunk, F, K, track)[:3]
 
 
 def _stream_rows_fwd(rows, starts, counts, tile_ids,
@@ -1041,13 +1131,15 @@ def _stream_rows_fwd(rows, starts, counts, tile_ids,
     out, (final_t, ckpt_t, ckpt_s) = _stream_rows_impl(
         rows, starts, counts, tile_ids, grid, chunk, F,
         K, track, want_ckpt=True)
-    return out, (rows, starts, counts, tile_ids, final_t,
-                 ckpt_t, ckpt_s)
+    return out[:3], (rows, starts, counts, tile_ids, final_t,
+                     ckpt_t, ckpt_s)
 
 
-def _stream_rows_bwd(grid, chunk, F, K, track, res, cotangents):
+def _run_stream_backward(res, g_img, g_t, grid, chunk, F, K,
+                         want_gentry=False):
+    """Shared stream-backward driver: pallas reverse sweep + covered-
+    position zeroing.  Returns (g_rows, g_entry | None)."""
     (rows, starts, counts, tile_ids, final_t, ckpt_t, ckpt_s) = res
-    g_img, g_t, _ = cotangents
     gx, gy = grid
     T0 = counts.shape[0]
     N = rows.shape[0] - K
@@ -1060,7 +1152,9 @@ def _stream_rows_bwd(grid, chunk, F, K, track, res, cotangents):
         [starts, jnp.full(T - T0, N, jnp.int32)]) if T > T0 else starts
     nchunks = K // chunk
     kern = functools.partial(_backward_stream_kernel, C=chunk, F=F, K=K,
-                             gx=gx)
+                             gx=gx, resume=want_gentry)
+    tile_block = pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
+                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T // TB,),
@@ -1068,16 +1162,15 @@ def _stream_rows_bwd(grid, chunk, F, K, track, res, cotangents):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((TB, P2, F), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            tile_block,
+            tile_block,
             pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, nchunks, P2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + ([tile_block] if want_gentry else []),
         scratch_shapes=[
             pltpu.VMEM((2, TB, K, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, TB)),
@@ -1085,12 +1178,15 @@ def _stream_rows_bwd(grid, chunk, F, K, track, res, cotangents):
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    gout = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N + K, 128), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((N + K, 128), jnp.float32)]
+        + ([jax.ShapeDtypeStruct((T, 1, P2), jnp.float32)]
+           if want_gentry else []),
     )(counts, tile_ids, starts_k, rows, g_img, g_t, final_t, ckpt_t,
       ckpt_s)
+    gout = outs[0]
     # Positions no window wrote (per-tile K-overflow gaps, the tail past
     # the last window) hold uninitialized memory: zero them so the
     # caller's gather transpose / reverse all-to-all moves clean rows.
@@ -1099,10 +1195,63 @@ def _stream_rows_bwd(grid, chunk, F, K, track, res, cotangents):
     covered = jnp.cumsum(delta)[:N + K] > 0
     covered = covered & (jnp.arange(N + K) < N)
     g_rows = jnp.where(covered[:, None], gout, 0.0)
+    g_entry = outs[1].reshape(T, P2)[:T0] if want_gentry else None
+    return g_rows, g_entry
+
+
+def _stream_rows_bwd(grid, chunk, F, K, track, res, cotangents):
+    g_img, g_t, _ = cotangents
+    g_rows, _ = _run_stream_backward(res, g_img, g_t, grid, chunk, F, K)
     return g_rows, None, None, None
 
 
 _composite_stream_rows.defvjp(_stream_rows_fwd, _stream_rows_bwd)
+
+
+# ---- K-overflow continuation: resume compositing from a saved
+# (logT, stopped) state.  Overflowing tiles re-enter the SAME kernels
+# with starts advanced by r*K and the previous pass's exit state, so a
+# tile with any depth complexity composites exactly — matching the
+# reference's exact-num_rendered rasterization (`rasterizer_impl.cu:
+# 343-384`) without ever exceeding the VMEM window budget. ----
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _composite_stream_resume(rows, starts, counts, tile_ids, entry_t,
+                             entry_s, grid, chunk, F, K, track=True):
+    """Stream compositor with (optional) per-tile entry state.
+
+    entry_t [Tl, P2]: entry log-transmittance (differentiable — its
+    cotangent routes the continuation's gradient into the producing
+    pass's final_t); entry_s [Tl, P2] f32 0/1 stopped flags (non-diff).
+    Both None = plain pass that additionally exports the stopped mask.
+    Returns (img, final_t, last, stopped)."""
+    return _stream_rows_impl(rows, starts, counts, tile_ids, grid,
+                             chunk, F, K, track,
+                             entry_t=entry_t, entry_s=entry_s)
+
+
+def _stream_resume_fwd(rows, starts, counts, tile_ids, entry_t, entry_s,
+                       grid, chunk, F, K, track=True):
+    out, (final_t, ckpt_t, ckpt_s) = _stream_rows_impl(
+        rows, starts, counts, tile_ids, grid, chunk, F, K, track,
+        want_ckpt=True, entry_t=entry_t, entry_s=entry_s)
+    # entry_t rides the residuals for its (static) pytree presence —
+    # None vs array decides whether the backward emits g_entry.
+    return out, (rows, starts, counts, tile_ids, final_t, ckpt_t,
+                 ckpt_s, entry_t)
+
+
+def _stream_resume_bwd(grid, chunk, F, K, track, res, cotangents):
+    *res7, entry_t = res
+    g_img, g_t, _, _ = cotangents
+    g_rows, g_entry = _run_stream_backward(
+        tuple(res7), g_img, g_t, grid, chunk, F, K,
+        want_gentry=entry_t is not None)
+    return g_rows, None, None, None, g_entry, None
+
+
+_composite_stream_resume.defvjp(_stream_resume_fwd, _stream_resume_bwd)
 
 
 def _composite_stream(packed128, stream_ids, starts, counts, tile_ids,
@@ -1202,6 +1351,7 @@ def composite_pallas(
     max_per_tile: int | None = None,
     track_contrib: bool = True,
     stream_cap_local: int | None = None,
+    overflow_rounds: int = 0,
 ) -> CompositeOutput:
     """Pallas-accelerated `composite` (same signature and semantics).
 
@@ -1232,10 +1382,47 @@ def composite_pallas(
             # keep the pad on the [P, ·] source (see flag comment)
             packed128 = jax.lax.optimization_barrier(packed128)
         if tile_axis is None:
-            img, final_t, last = _composite_stream(
-                packed128, bins.stream_ids, bins.stream_starts,
-                bins.counts, jnp.arange(T, dtype=jnp.int32), grid, chunk,
-                F, K, track_contrib)
+            ov_on = (overflow_rounds > 0
+                     and getattr(bins, "ov_tiles", None) is not None)
+            if not ov_on:
+                img, final_t, last = _composite_stream(
+                    packed128, bins.stream_ids, bins.stream_starts,
+                    bins.counts, jnp.arange(T, dtype=jnp.int32), grid,
+                    chunk, F, K, track_contrib)
+            else:
+                # Lossless K-overflow continuation: the base pass
+                # composites every tile's first K layers and exports
+                # per-pixel (final_t, stopped); each round r then
+                # resumes the `ov_tiles` (top-K-by-count) tiles from
+                # that state over stream window [start + r*K, +K).
+                # Weights inside a resume pass are alpha * GLOBAL T
+                # (the carry starts at the entry logT), so the rounds'
+                # images simply ADD — and gradients flow back through
+                # entry_t = log(final_t) into the earlier passes.
+                N = bins.stream_ids.shape[0]
+                sids = jnp.pad(bins.stream_ids, (0, K))
+                rows = jnp.take(packed128, sids, axis=0, mode="clip")
+                img, final_t, last, stop = _composite_stream_resume(
+                    rows, bins.stream_starts, bins.counts,
+                    jnp.arange(T, dtype=jnp.int32), None, None, grid,
+                    chunk, F, K, track_contrib)
+                ov = bins.ov_tiles
+                ent_t = jnp.log(final_t[ov])
+                ent_s = jax.lax.stop_gradient(stop[ov])
+                t_r = final_t[ov]
+                for r in range(1, overflow_rounds + 1):
+                    starts_r = jnp.minimum(bins.ov_starts + r * K, N)
+                    counts_r = jnp.clip(bins.ov_counts - r * K, 0, K)
+                    img_r, t_r, last_r, stop_r = _composite_stream_resume(
+                        rows, starts_r, counts_r, ov, ent_t, ent_s,
+                        grid, chunk, F, K, track_contrib)
+                    img = img.at[ov].add(img_r)
+                    if track_contrib:
+                        last = last.at[ov].max(
+                            jnp.where(last_r > 0, r * K + last_r, 0))
+                    ent_t = jnp.log(jnp.maximum(t_r, 1e-30))
+                    ent_s = jax.lax.stop_gradient(stop_r)
+                final_t = final_t.at[ov].set(t_r)
             return CompositeOutput(
                 image=untile_rows(img, grid),
                 final_t=untile_rows(final_t, grid),

@@ -63,6 +63,15 @@ class RasterizeConfig:
     # mode for heavy-tailed tile footprints where any M big enough to
     # be lossless makes [P, M] explode).  See `binning.bin_splats`.
     expansion: str = "dense"
+    # Lossless K-overflow continuation (stream/pallas, single-device):
+    # the `overflow_tiles` deepest tiles get up to `overflow_rounds`
+    # extra K-window compositing passes over their stream-segment
+    # tails, so depth complexity beyond the VMEM-capped K composites
+    # exactly (reference exactness bar: `rasterizer_impl.cu:343-384`).
+    # `ops.autobudget.derive` sets both when the measured per-tile
+    # demand exceeds the stream kernels' VMEM K ceiling.
+    overflow_rounds: int = 0
+    overflow_tiles: int = 0
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -96,7 +105,8 @@ def composite_dispatch(cfg: RasterizeConfig, bins, xy, conic, opacity,
             tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards,
             max_per_tile=cfg.max_per_tile,
             track_contrib=cfg.track_contrib,
-            stream_cap_local=cfg.stream_cap_local)
+            stream_cap_local=cfg.stream_cap_local,
+            overflow_rounds=cfg.overflow_rounds)
     return comp.composite(
         bins, xy, conic, opacity, feats, cfg.grid, chunk=cfg.chunk,
         tile_axis=cfg.tile_axis, tile_shards=cfg.tile_shards)
@@ -162,12 +172,18 @@ def rasterize(
     # built.  Kernel path only; under tile sharding each member windows
     # its contiguous slice of the stream.
     stream = (backend == "pallas" and cfg.max_grad_instances is None)
+    # Overflow continuation is a single-device stream-kernel feature
+    # (sharded modes size K per member instead).
+    ov_tiles = (cfg.overflow_tiles
+                if (stream and cfg.tile_axis is None
+                    and cfg.overflow_rounds > 0) else 0)
     bins = binning.bin_splats(
         proj, cfg.grid, cfg.max_tiles_per_gaussian, cfg.max_per_tile,
         grad_cap=cfg.max_grad_instances, stream=stream,
         stream_cap=cfg.stream_cap
         if (stream or cfg.expansion == "offset") else None,
-        expansion=cfg.expansion)
+        expansion=cfg.expansion,
+        overflow_tiles=ov_tiles, overflow_rounds=cfg.overflow_rounds)
     # Indices are integer routing decisions, never differentiated.
     bins = jax.tree.map(jax.lax.stop_gradient, bins)
 
