@@ -151,6 +151,50 @@ def bench_tp(n, a):
     return a.width * a.height / dt / 1e6, "Mpix/s"
 
 
+def bench_tp_pbr(n, a):
+    """TP x PBR: NeILF render equation + 11-channel rasterization with
+    params point-sharded and tiles sharded (`parallel.render.
+    make_tp_pbr_train_step`); splat + env-SH + gamma updates."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from relightable3dgaussian_tpu.models import gaussians as G
+    from relightable3dgaussian_tpu.models import render as R
+    from relightable3dgaussian_tpu.training import optimizer as O
+    from relightable3dgaussian_tpu.ops.rasterize import RasterizeConfig
+    from relightable3dgaussian_tpu.parallel import render as prender
+    from relightable3dgaussian_tpu.parallel import train as ptrain
+    from relightable3dgaussian_tpu.training import trainer_neilf as TN
+    from __graft_entry__ import _toy_scene
+
+    mesh = _mesh(1, n)
+    base, _, camera = _toy_scene(
+        P=a.splats, capacity=2 * a.splats, W=a.width, H=a.height)
+    rng = np.random.default_rng(0)
+    state0 = G.create_from_points(
+        np.asarray(base.params.xyz)[: a.splats],
+        rng.uniform(0, 1, (a.splats, 3)).astype(np.float32),
+        capacity=2 * a.splats, use_pbr=True,
+        init_scale=np.full(a.splats, 0.03, np.float32))
+    cfg = RasterizeConfig(
+        width=a.width, height=a.height, max_tiles_per_gaussian=32,
+        max_per_tile=128, chunk=32)
+    state, txs = TN.init_pbr_train_state(state0, O.OptimConfig())
+    step = prender.make_tp_pbr_train_step(
+        txs, mesh, cfg, R.LossConfig(), sh_deg=0, sample_num=8)
+    cams = {k: jnp.stack([v]) for k, v in camera.items()}
+    gt = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 1, (1, a.height, a.width, 3)).astype(np.float32))
+    state = ptrain.replicate(state, mesh)
+    args = (state, ptrain.shard_batch(cams, mesh),
+            ptrain.shard_batch(gt, mesh), jnp.zeros(3),
+            jax.random.PRNGKey(0))
+    dt, out = _time_steps(lambda *x: step(*x), args, a.steps, a.warmup,
+                          lambda o: o[0].gaussians.params.xyz,
+                          rebind=lambda ar, o: (o[0],) + ar[1:])
+    return a.width * a.height / dt / 1e6, "Mpix/s"
+
+
 def bench_rays(n, a):
     import jax
     import jax.numpy as jnp
@@ -213,6 +257,8 @@ def main():
                 thr, unit = bench_dp_tile(mode, n, a)
             elif mode == "tp":
                 thr, unit = bench_tp(n, a)
+            elif mode == "tp_pbr":
+                thr, unit = bench_tp_pbr(n, a)
             elif mode == "rays":
                 thr, unit = bench_rays(n, a)
             else:

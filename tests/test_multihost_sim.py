@@ -22,13 +22,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.skipif(os.environ.get("SKIP_MULTIHOST") == "1",
-                    reason="multihost simulation disabled")
-def test_two_process_dp_step_runs():
+def _run_two_process(modes: str, timeout: int = 420) -> list[str]:
     port = _free_port()
     cmd = [sys.executable, os.path.join(REPO, "scaling_bench.py"),
            "--multihost", "--platform", "cpu", "--devices", "8",
-           "--local_devices", "4", "--modes", "dp",
+           "--local_devices", "4", "--modes", modes,
            "--steps", "2", "--warmup", "1",
            "--width", "64", "--height", "64", "--splats", "512"]
     procs = []
@@ -43,7 +41,7 @@ def test_two_process_dp_step_runs():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -51,5 +49,25 @@ def test_two_process_dp_step_runs():
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    return outs
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_MULTIHOST") == "1",
+                    reason="multihost simulation disabled")
+def test_two_process_dp_step_runs():
+    for out in _run_two_process("dp"):
         assert '"mode": "dp", "devices": 8' in out, out[-3000:]
         assert '"pass": true' in out, out[-3000:]
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_MULTIHOST") == "1",
+                    reason="multihost simulation disabled")
+def test_two_process_sharded_modes_run():
+    """Cross-process collectives for every sharded mode beyond dp in ONE
+    2-process spawn (one startup, four compiles): tile all_gather, tp
+    instance all-to-all, TP x PBR (env-SH/gamma pmean + routed render
+    equation), rays psum — VERDICT r4 item 7."""
+    for out in _run_two_process("tile,tp,tp_pbr,rays", timeout=900):
+        for mode in ("tile", "tp", "tp_pbr", "rays"):
+            assert f'"mode": "{mode}", "devices": 8' in out, \
+                (mode, out[-3000:])

@@ -143,10 +143,14 @@ def main() -> None:
                 f"relightable3dgaussian_tpu.ops.{mod}"), attr
         return cpal, name
 
+    def _coerce(m, attr, v):
+        cur = getattr(m, attr)
+        return bool(int(v)) if isinstance(cur, bool) else int(v)
+
     for s in args.set:
         name, _, v = s.partition("=")
         m, attr = _flag_target(name)
-        setattr(m, attr, bool(int(v)))
+        setattr(m, attr, _coerce(m, attr, v))
 
     base = dict(m=args.m, k=args.k, chunk=args.chunk, tb=args.tb,
                 track=not args.no_track)
@@ -160,7 +164,7 @@ def main() -> None:
         name, _, vals = args.absweep.partition("=")
         m, attr = _flag_target(name)
         for v in vals.split(","):
-            setattr(m, attr, bool(int(v)))
+            setattr(m, attr, _coerce(m, attr, v))
             run(**base, label=f"{name}={v} ")
     else:
         run(**base)

@@ -91,6 +91,122 @@ def build_gt_scene(n: int, seed: int = 0):
     return pts, cols, scale, opacity
 
 
+def build_gt_scene_v3(n: int, seed: int = 0):
+    """v3 (round 5): the HARD rehearsal target — thin geometry,
+    high-frequency albedo, and background clutter, the regimes where
+    densify/prune and the per-tile depth budget actually get stressed
+    (VERDICT r4 item 3).  Components:
+
+      * sphere with a hard high-frequency checker (tanh-sharpened,
+        ~24 cycles around) — sub-splat-scale color edges densification
+        must chase;
+      * a THIN torus ring (minor radius 0.035) and a fence of 14 thin
+        rods (radius 0.018) — structures a few pixels wide at 800²;
+      * ground disc with fine concentric rings (~25 cycles);
+      * 6% clutter: small opaque blobs scattered through the volume —
+        depth complexity for the K budget.
+
+    Returns (pts, cols, scale, opacity)."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    n_sph = int(n * 0.34)
+    n_tor = int(n * 0.16)
+    n_rod = int(n * 0.14)
+    n_gnd = int(n * 0.30)
+    n_clu = n - n_sph - n_tor - n_rod - n_gnd
+
+    # sphere r=.55 with hard checker
+    theta = np.arccos(rng.uniform(-1, 1, n_sph))
+    phi = rng.uniform(0, 2 * np.pi, n_sph)
+    sph = 0.55 * np.stack([np.sin(theta) * np.cos(phi),
+                           np.sin(theta) * np.sin(phi),
+                           np.cos(theta)], -1)
+    hard = np.tanh(6.0 * np.sin(12 * phi) * np.sin(10 * theta))
+    fine = 0.5 + 0.5 * np.sin(24 * phi + 8 * theta)
+    sph_col = np.clip(np.stack([0.5 + 0.45 * hard,
+                                fine,
+                                0.5 - 0.45 * hard], -1), 0, 1)
+    area_sph = 4 * np.pi * 0.55 ** 2
+    sph_scale = np.full(n_sph, 2.0 * np.sqrt(area_sph / max(n_sph, 1)))
+    sph_op = np.full(n_sph, 0.95)
+
+    # thin torus: major 0.85, minor 0.035, tilted
+    u = rng.uniform(0, 2 * np.pi, n_tor)
+    v = rng.uniform(0, 2 * np.pi, n_tor)
+    Rmaj, rmin = 0.85, 0.035
+    tor = np.stack([(Rmaj + rmin * np.cos(v)) * np.cos(u),
+                    rmin * np.sin(v),
+                    (Rmaj + rmin * np.cos(v)) * np.sin(u)], -1)
+    tilt = np.deg2rad(18.0)
+    rot = np.array([[1, 0, 0],
+                    [0, np.cos(tilt), -np.sin(tilt)],
+                    [0, np.sin(tilt), np.cos(tilt)]])
+    tor = tor @ rot.T + np.array([0.0, 0.1, 0.0])
+    tor_col = np.stack([0.5 + 0.5 * np.sin(18 * u),
+                        np.full(n_tor, 0.85),
+                        0.5 + 0.5 * np.cos(18 * u)], -1)
+    area_tor = (2 * np.pi * Rmaj) * (2 * np.pi * rmin)
+    tor_scale = np.full(n_tor, 2.0 * np.sqrt(area_tor / max(n_tor, 1)))
+    tor_op = np.full(n_tor, 0.95)
+
+    # fence of thin rods on an arc behind the sphere
+    nrods = 14
+    which = rng.integers(0, nrods, n_rod)
+    arc = np.deg2rad(-150.0 + 120.0 * which / (nrods - 1))
+    rr = 1.25
+    h = rng.uniform(-0.75, 0.55, n_rod)
+    av = rng.uniform(0, 2 * np.pi, n_rod)
+    rod_r = 0.018
+    rod = np.stack([rr * np.cos(arc) + rod_r * np.cos(av),
+                    h,
+                    rr * np.sin(arc) + rod_r * np.sin(av)], -1)
+    rod_col = np.stack([np.where(which % 2 == 0, 0.9, 0.15),
+                        np.where(which % 3 == 0, 0.8, 0.25),
+                        np.full(n_rod, 0.3)], -1)
+    area_rod = nrods * (2 * np.pi * rod_r) * 1.3
+    rod_scale = np.full(n_rod, 2.0 * np.sqrt(area_rod / max(n_rod, 1)))
+    rod_op = np.full(n_rod, 0.96)
+
+    # ground disc with fine rings
+    r = 1.6 * np.sqrt(rng.uniform(0, 1, n_gnd))
+    a = rng.uniform(0, 2 * np.pi, n_gnd)
+    gnd = np.stack([r * np.cos(a), np.full(n_gnd, -0.78), r * np.sin(a)],
+                   -1)
+    rings = 0.5 + 0.45 * np.tanh(4.0 * np.sin(25 * r))
+    spokes = 0.5 + 0.3 * np.sin(16 * a)
+    gnd_col = np.stack([rings, rings * spokes, 0.9 - 0.6 * rings], -1)
+    area_gnd = np.pi * 1.6 ** 2
+    gnd_scale = np.full(n_gnd, 2.0 * np.sqrt(area_gnd / max(n_gnd, 1)))
+    gnd_op = np.full(n_gnd, 0.96)
+
+    # clutter blobs through the volume (depth complexity)
+    nblob = 80
+    bc = rng.uniform([-1.4, -0.6, -1.4], [1.4, 0.8, 1.4], (nblob, 3))
+    keep = np.linalg.norm(bc, axis=-1) > 0.75  # keep off the sphere
+    bc = bc[keep]
+    nblob = len(bc)
+    bwhich = rng.integers(0, max(nblob, 1), n_clu)
+    bdir = rng.normal(size=(n_clu, 3))
+    bdir /= np.linalg.norm(bdir, axis=-1, keepdims=True)
+    brad = 0.06 * rng.uniform(0.8, 1.0, (n_clu, 1))
+    clu = bc[bwhich] + bdir * brad
+    bcol = rng.uniform(0.1, 0.95, (max(nblob, 1), 3))
+    clu_col = np.clip(bcol[bwhich] + rng.normal(0, 0.02, (n_clu, 3)),
+                      0, 1)
+    area_clu = nblob * 4 * np.pi * 0.06 ** 2
+    clu_scale = np.full(n_clu, 2.0 * np.sqrt(area_clu / max(n_clu, 1)))
+    clu_op = np.full(n_clu, 0.93)
+
+    pts = np.concatenate([sph, tor, rod, gnd, clu]).astype(np.float32)
+    cols = np.concatenate([sph_col, tor_col, rod_col, gnd_col, clu_col]
+                          ).astype(np.float32)
+    scale = np.concatenate([sph_scale, tor_scale, rod_scale, gnd_scale,
+                            clu_scale]).astype(np.float32)
+    opacity = np.concatenate([sph_op, tor_op, rod_op, gnd_op, clu_op]
+                             ).astype(np.float32)
+    return pts, cols, scale, opacity
+
+
 def orbit_pose(ang: float, elev: float, radius: float):
     """COLMAP-convention camera (columns right/down/forward) on an orbit."""
     import numpy as np
@@ -119,6 +235,9 @@ def main() -> None:
     ap.add_argument("--radius", type=float, default=3.2)
     ap.add_argument("--white_background", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--variant", default="v2", choices=["v2", "v3"],
+                    help="v2: smooth opaque surfaces; v3: thin geometry "
+                         "+ high-frequency albedo + clutter")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -138,7 +257,8 @@ def main() -> None:
 
     rng = np.random.default_rng(args.seed)
     W = H = args.size
-    pts, cols, scale, opac = build_gt_scene(args.gt_splats, args.seed)
+    builder = build_gt_scene_v3 if args.variant == "v3" else build_gt_scene
+    pts, cols, scale, opac = builder(args.gt_splats, args.seed)
     cap = 1 << (args.gt_splats - 1).bit_length()
     state = G.create_from_points(pts, cols, capacity=cap, init_scale=scale,
                                  init_opacity=opac)
