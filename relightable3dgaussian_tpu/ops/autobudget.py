@@ -46,10 +46,19 @@ class BudgetStats(NamedTuple):
     # the K-overflow continuation when max_per_tile exceeds the stream
     # kernels' VMEM K ceiling.
     top_counts: tuple = ()
+    # Splat-footprint tail: #splats with tiles_touched > m for
+    # m in SPLIT_THRESHOLDS (maxed over cameras) + the splat count —
+    # sizes the "split" expansion (M_small for everyone, full M for the
+    # top-footprint splats; halves the instance-sort keys).
+    tt_over: tuple = ()
+    num_splats: int = 0
 
 
 def _round_up(x: int, m: int) -> int:
     return ((max(x, 1) + m - 1) // m) * m
+
+
+SPLIT_THRESHOLDS = (4, 8, 12, 16, 24)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
@@ -63,7 +72,9 @@ def _measure_tiles(means3d, scales, rotations, opacities, alive, camera,
         camera["tan_fov"][0], camera["tan_fov"][1],
         colors_precomp=jnp.zeros_like(means3d))
     tt = jnp.where(proj.valid, proj.tiles_touched, 0)
-    return jnp.max(tt), jnp.sum(tt)
+    over = jnp.stack([jnp.sum((tt > m).astype(jnp.int32))
+                      for m in SPLIT_THRESHOLDS])
+    return jnp.max(tt), jnp.sum(tt), over
 
 
 @functools.partial(jax.jit,
@@ -108,12 +119,16 @@ def measure(
     can have a splat touching every tile).
     """
     max_tiles = max_count = num_inst = rect_slots = 0
+    import numpy as _np0
+    tt_over = _np0.zeros(len(SPLIT_THRESHOLDS), _np0.int64)
     for cam in cameras:
         cam = {k: jnp.asarray(v) for k, v in cam.items()}
-        mt, slots = _measure_tiles(means3d, scales, rotations, opacities,
-                                   alive, cam, width=width, height=height)
+        mt, slots, over = _measure_tiles(
+            means3d, scales, rotations, opacities,
+            alive, cam, width=width, height=height)
         max_tiles = max(max_tiles, int(mt))
         rect_slots = max(rect_slots, int(slots))
+        tt_over = _np0.maximum(tt_over, _np0.asarray(over))
     # One cap for every camera's count pass → a single compile.
     cap = _round_up(rect_slots, 1 << 16)
     import numpy as _np
@@ -130,7 +145,9 @@ def measure(
         num_inst = max(num_inst, int(ni))
     return BudgetStats(max_tiles=max_tiles, max_per_tile=max_count,
                        num_instances=num_inst, rect_slots=rect_slots,
-                       top_counts=tuple(int(c) for c in top_acc))
+                       top_counts=tuple(int(c) for c in top_acc),
+                       tt_over=tuple(int(c) for c in tt_over),
+                       num_splats=int(means3d.shape[0]))
 
 
 def derive(
@@ -178,7 +195,16 @@ def derive(
     k_demand = _round_up(int(stats.max_per_tile * hk), 8)
     vmem_capped = False
     if single_chunk and k_demand <= single_chunk_max:
-        chunk = k = min(k_demand, max_k)
+        if k_demand > 96:
+            # unrolled 96-chunks: measured faster than the single-chunk
+            # specialization (r5: 32.0 vs 33.9 ms at 800²/K=288) — the
+            # [C,C]x[C,P2] cumsum tri-matmuls shrink 3x and the static
+            # unroll keeps straight-line control (composite_pallas.
+            # UNROLL_MAX covers nchunks <= 8, i.e. K <= 768 here).
+            chunk = 96
+            k = min(_round_up(k_demand, chunk), max_k)
+        else:
+            chunk = k = min(k_demand, max_k)
     else:
         # The Pallas compositor requires K % chunk == 0; cap on it too.
         chunk = cfg.chunk
@@ -218,9 +244,31 @@ def derive(
         # the stream prefix must hold the deep tiles' FULL segments
         cap = max(cap, min(_round_up(int(stats.num_instances * hc), 8192),
                            gx * gy * k * (1 + overflow_rounds)))
+    # Split expansion: when the measured footprint tail says most splats
+    # touch far fewer than M tiles, give everyone M_small slots and the
+    # top-footprint splats the full M — fewer sort keys (the instance
+    # sort was 3.0 ms/step on the [P, M] layout at 800²).  Pick the
+    # (M_small, P_big) minimizing the key count; keep plain dense when
+    # the saving is marginal.
+    expansion = "offset" if offset_mode else "dense"
+    split_ms, split_pb = cfg.split_m_small, cfg.split_p_big
+    if not offset_mode and stats.tt_over and stats.num_splats and m > 8:
+        Pn = stats.num_splats
+        best = None
+        for ms, n_over in zip(SPLIT_THRESHOLDS, stats.tt_over):
+            if ms >= m:
+                continue
+            pb = min(_round_up(int(n_over * 1.5) + 256, 1024), Pn)
+            keys = Pn * ms + pb * m
+            if best is None or keys < best[0]:
+                best = (keys, ms, pb)
+        if best is not None and best[0] < 0.8 * Pn * m:
+            expansion = "split"
+            _, split_ms, split_pb = best
     new = dataclasses.replace(
         cfg, max_tiles_per_gaussian=m, max_per_tile=k, chunk=chunk,
-        stream_cap=cap, expansion="offset" if offset_mode else "dense",
+        stream_cap=cap, expansion=expansion,
+        split_m_small=split_ms, split_p_big=split_pb,
         overflow_rounds=overflow_rounds, overflow_tiles=overflow_tiles)
     if overflow_rounds:
         reason = ("VMEM stream-window ceiling"

@@ -93,8 +93,25 @@ TRIG_MIN = False
 # straight-line code with the small-C cumsums and no carry-dependent
 # control.  Chunks past a tile's count compute fully-masked zeros
 # (identical results; the dynamic loop skipped them).
-# A/B: `tools/bench_probe.py --set composite_pallas.UNROLL_MAX=8`.
-UNROLL_MAX = 0
+# Measured WINNER on v5e (r5): chunk=96 unrolled 32.0-32.6 ms vs the
+# single-chunk-288 specialization's 33.9 ms on the 800² bench (fwd
+# kernel 7.1 -> 3.3 ms in the xplane trace; the r3 negative result on
+# chunking was the while_loop, not the chunks).  Default ON; autobudget
+# picks chunk=96 when K fits within UNROLL_MAX chunks.
+# A/B: `tools/bench_probe.py --set composite_pallas.UNROLL_MAX=0`.
+UNROLL_MAX = 8
+# Replace the row-serial XLA scatter-add in the stream path's gradient
+# reduction (~7.2 ms/step at 800²: ~13 ns/row, the TPU's random-write
+# floor) with sort-by-gaussian + row gather + `reduce_rows_sorted` — a
+# Pallas kernel that reduces each block of gid-SORTED gradient rows
+# with ONE one-hot MXU matmul into a VMEM-resident packed accumulator.
+# Sorted ids make every block's output span contiguous (<= C/packs + 1
+# accumulator rows), so the accumulate is a dynamic-offset vector RMW,
+# not a per-row random write.  Requires lane-group-replicated gradient
+# rows (D <= 32); wider features fall back to the scatter.
+# A/B: `tools/bench_probe.py --set composite_pallas.SEG_REDUCE=0`.
+SEG_REDUCE = True
+SEG_BLOCK = 256  # rows per reduction block (one MXU matmul each)
 # Pin the lane pad of the stream source [P, 6+F] -> [P, 128] BEFORE the
 # row gather with an optimization_barrier.  Without it, XLA rewrites
 # gather(pad(src)) into pad(gather(src)) — sound, but the pad then runs
@@ -714,6 +731,124 @@ def reduce_rows_pallas(gdata_tiled: jnp.ndarray, ids: jnp.ndarray,
     return out.reshape(rows * packs, G)[:P, :D]
 
 
+def _segsum_kernel(bases_ref, ids_row_ref, g_ref, out_ref,
+                   *, C: int, G: int, R2: int, P: int):
+    """One block of the sorted-segment reduction.
+
+    ids are globally NON-DECREASING, so this block's C rows land in the
+    contiguous packed-accumulator span [base//packs, base//packs + R2).
+    The reduction itself is one [packs*R2, C] x [C, 128] MXU matmul
+    against a one-hot routing matrix W: W[j*R2 + r, c] = 1 iff row c's
+    gaussian sits at relative packed row r, lane group j.  Rows with
+    id >= P (padding / redirected garbage) arrive as exact zeros (the
+    caller's mode="fill" gather) and are additionally routed nowhere."""
+    b = pl.program_id(0)
+    packs = 128 // G
+
+    @pl.when(b == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    base = bases_ref[b]
+    base_row = base // packs
+    shift = base - base_row * packs
+
+    ids_row = ids_row_ref[0, 0:1, :]                # [1, C] int32
+    valid_row = ids_row < P
+    q = jnp.where(valid_row, ids_row - base + shift, -1)   # [1, C]
+    # target index t(i) for stacked row i = j*R2 + r: value r*packs + j
+    i_iota = jax.lax.broadcasted_iota(jnp.int32, (packs * R2, C), 0)
+    r = i_iota % R2
+    j = i_iota // R2
+    W = (q == r * packs + j).astype(jnp.float32)    # [packs*R2, C]
+
+    # rows arrive in the plain pad128 layout (values at lanes [0, D));
+    # garbage rows (id >= P) are routed nowhere by W, but a non-finite
+    # junk value would still poison the 0-multiply -> sanitize.
+    g = g_ref[...]
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
+    M = jax.lax.dot_general(
+        W, g, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)         # [packs*R2, 128]
+
+    # lane-group packing happens HERE (cheap [R2, 128] lane rolls)
+    # instead of replicated emit in the compositor backward (which
+    # measured +2.3 ms/step of VPU copies at 800²).
+    lane_grp = jax.lax.broadcasted_iota(jnp.int32, (R2, 128), 1) // G
+    contrib = jnp.zeros((R2, 128), jnp.float32)
+    for jj in range(packs):
+        mj = M[jj * R2:(jj + 1) * R2, :]
+        if jj:
+            mj = pltpu.roll(mj, jj * G, 1)
+        contrib = contrib + jnp.where(lane_grp == jj, mj, 0.0)
+
+    cur = out_ref[pl.ds(base_row, R2), :]
+    out_ref[pl.ds(base_row, R2), :] = cur + contrib
+
+
+def reduce_rows_sorted(g_rows: jnp.ndarray, ids: jnp.ndarray,
+                       P: int, D: int, block: int | None = None
+                       ) -> jnp.ndarray:
+    """Sum lane-group-replicated gradient rows by gaussian id via
+    sort + gather + blockwise one-hot MXU matmuls (see SEG_REDUCE).
+
+    Args:
+      g_rows: [N, 128] rows with the D gradient values replicated per
+        lane group (the backward kernels' `tiled=True` layout).
+      ids: [N] int32 targets; id >= P marks padding/garbage rows
+        (values may be uninitialized memory — they are masked, not
+        just routed away).
+      P: number of gaussians; D: useful values per row (<= 32).
+
+    Returns [P, G] float32 sums (G = lane-group size; cols >= D are
+    zero)."""
+    C = block or SEG_BLOCK
+    G, packs = _grad_group(D)
+    N = ids.shape[0]
+    padN = (-N) % C
+    if padN:
+        # padding rows never materialize: their (id=P, pos=N) entries
+        # sort to the tail and the mode="fill" gather zeroes them
+        g_rows_src = g_rows
+        ids = jnp.pad(ids, (0, padN), constant_values=P)
+    else:
+        g_rows_src = g_rows
+    Ns = N + padN
+    idsort, pos = jax.lax.sort(
+        (ids, jnp.arange(Ns, dtype=jnp.int32)), dimension=0, num_keys=1)
+    # garbage/padding rows (id >= P) are routed nowhere by the kernel's
+    # one-hot W and sanitized against non-finite junk in-kernel, so a
+    # plain clip gather suffices (mode="fill" costs a full [N, 128]
+    # select pass — measured 0.87 ms/step at 800²)
+    gs = jnp.take(g_rows_src, pos, axis=0, mode="clip")
+    nblocks = Ns // C
+    bases = jnp.minimum(idsort[::C], P - 1)         # [nblocks]
+    R2 = C // packs + 1
+    rows_out = -(-(P + packs) // packs) + R2
+    rows_out += (-rows_out) % 8
+    ids3 = jnp.broadcast_to(
+        idsort.reshape(nblocks, 1, C), (nblocks, 8, C))
+    kern = functools.partial(_segsum_kernel, C=C, G=G, R2=R2, P=P)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((1, 8, C), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 128), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows_out, 128), lambda b, *_: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows_out, 128), jnp.float32),
+    )(bases, ids3, gs)
+    return out.reshape(rows_out * packs, G)[:P]
+
+
 # The row gather's transpose is a scatter-add of the per-instance gradient
 # rows into [P, D] (the XLA fallback path; see the Pallas reduction above
 # for the measured cost landscape).  Padded slots carry exactly-zero
@@ -990,7 +1125,8 @@ def _forward_stream_kernel(counts_ref, tids_ref, starts_ref, rows_ref,
 def _backward_stream_kernel(counts_ref, tids_ref, starts_ref, rows_ref,
                             gimg_ref, gt_ref, ft_ref, ckpt_t_ref,
                             ckpt_s_ref, *rest, C: int, F: int, K: int,
-                            gx: int, resume: bool = False):
+                            gx: int, resume: bool = False,
+                            tiled="pad128"):
     """Backward with STREAM-POSITIONED gradient output: tile t's [K, D]
     gradient rows are DMA'd to gout[starts[t] : starts[t]+K], so the
     flat output aligns with stream_ids (the scatter targets).  Windows
@@ -1015,7 +1151,7 @@ def _backward_stream_kernel(counts_ref, tids_ref, starts_ref, rows_ref,
                            gimg_ref, gt_ref, ft_ref, ckpt_t_ref,
                            ckpt_s_ref, gbuf.at[buf], tb, C=C, F=F,
                            nchunks=nchunks, gx=gx, gtb=0,
-                           tiled="pad128", g_entry_ref=gentry_ref)
+                           tiled=tiled, g_entry_ref=gentry_ref)
         row = s * TB + tb
         w = pltpu.make_async_copy(
             gbuf.at[buf, 0], gout_ref.at[pl.ds(starts_ref[row], K)],
@@ -1119,15 +1255,21 @@ def _stream_rows_impl(rows, starts, counts, tile_ids,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _composite_stream_rows(rows, starts, counts, tile_ids,
-                           grid, chunk, F, K, track=True):
+                           grid, chunk, F, K, track=True,
+                           zero_uncovered=True):
+    """`zero_uncovered=False` skips the backward's [N+K, 128] covered-
+    position select (an ~0.9 ms/step HBM pass at 800²) — only valid
+    when the caller's cotangent consumer routes uncovered rows
+    harmlessly itself (`_gather_redirect` scatters them to a trash
+    row)."""
     return _stream_rows_impl(rows, starts, counts, tile_ids,
                              grid, chunk, F, K, track)[:3]
 
 
 def _stream_rows_fwd(rows, starts, counts, tile_ids,
-                     grid, chunk, F, K, track=True):
+                     grid, chunk, F, K, track=True, zero_uncovered=True):
     out, (final_t, ckpt_t, ckpt_s) = _stream_rows_impl(
         rows, starts, counts, tile_ids, grid, chunk, F,
         K, track, want_ckpt=True)
@@ -1136,7 +1278,7 @@ def _stream_rows_fwd(rows, starts, counts, tile_ids,
 
 
 def _run_stream_backward(res, g_img, g_t, grid, chunk, F, K,
-                         want_gentry=False):
+                         want_gentry=False, zero_uncovered=True):
     """Shared stream-backward driver: pallas reverse sweep + covered-
     position zeroing.  Returns (g_rows, g_entry | None)."""
     (rows, starts, counts, tile_ids, final_t, ckpt_t, ckpt_s) = res
@@ -1152,7 +1294,7 @@ def _run_stream_backward(res, g_img, g_t, grid, chunk, F, K,
         [starts, jnp.full(T - T0, N, jnp.int32)]) if T > T0 else starts
     nchunks = K // chunk
     kern = functools.partial(_backward_stream_kernel, C=chunk, F=F, K=K,
-                             gx=gx, resume=want_gentry)
+                             gx=gx, resume=want_gentry, tiled="pad128")
     tile_block = pl.BlockSpec((TB, 1, P2), lambda t, *_: (t, 0, 0),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1187,25 +1329,58 @@ def _run_stream_backward(res, g_img, g_t, grid, chunk, F, K,
     )(counts, tile_ids, starts_k, rows, g_img, g_t, final_t, ckpt_t,
       ckpt_s)
     gout = outs[0]
-    # Positions no window wrote (per-tile K-overflow gaps, the tail past
-    # the last window) hold uninitialized memory: zero them so the
-    # caller's gather transpose / reverse all-to-all moves clean rows.
-    delta = jnp.zeros(N + K + 1, jnp.int32)
-    delta = delta.at[starts].add(1).at[starts + K].add(-1)
-    covered = jnp.cumsum(delta)[:N + K] > 0
-    covered = covered & (jnp.arange(N + K) < N)
-    g_rows = jnp.where(covered[:, None], gout, 0.0)
+    if zero_uncovered:
+        # Positions no window wrote (per-tile K-overflow gaps, the tail
+        # past the last window) hold uninitialized memory: zero them so
+        # the caller's gather transpose / reverse all-to-all moves
+        # clean rows.
+        delta = jnp.zeros(N + K + 1, jnp.int32)
+        delta = delta.at[starts].add(1).at[starts + K].add(-1)
+        covered = jnp.cumsum(delta)[:N + K] > 0
+        covered = covered & (jnp.arange(N + K) < N)
+        gout = jnp.where(covered[:, None], gout, 0.0)
     g_entry = outs[1].reshape(T, P2)[:T0] if want_gentry else None
-    return g_rows, g_entry
+    return gout, g_entry
 
 
-def _stream_rows_bwd(grid, chunk, F, K, track, res, cotangents):
+def _stream_rows_bwd(grid, chunk, F, K, track, zero_uncovered, res,
+                     cotangents):
     g_img, g_t, _ = cotangents
-    g_rows, _ = _run_stream_backward(res, g_img, g_t, grid, chunk, F, K)
+    g_rows, _ = _run_stream_backward(res, g_img, g_t, grid, chunk, F, K,
+                                     zero_uncovered=zero_uncovered)
     return g_rows, None, None, None
 
 
 _composite_stream_rows.defvjp(_stream_rows_fwd, _stream_rows_bwd)
+
+
+# Row gather whose TRANSPOSE uses redirected ids: uncovered stream
+# positions (whose backward rows are raw uninitialized memory when
+# zero_uncovered=False) scatter into a trash row past P that is sliced
+# off — the select pass over [N+K, 128] disappears from the step.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_redirect(Prows, D, src, ids, ids_bwd):
+    return jnp.take(src, ids, axis=0, mode="clip")
+
+
+def _gather_redirect_fwd(Prows, D, src, ids, ids_bwd):
+    return jnp.take(src, ids, axis=0, mode="clip"), ids_bwd
+
+
+def _gather_redirect_bwd(Prows, D, ids_bwd, g):
+    if SEG_REDUCE and D <= 32 and g.shape[-1] == 128:
+        # sorted-segment MXU reduction (rows arrive lane-group
+        # replicated); pad lanes of the cotangent are sliced away by
+        # the pack transpose upstream.
+        G, _ = _grad_group(D)
+        acc = reduce_rows_sorted(g, ids_bwd, Prows, D)      # [P, G]
+        return jnp.pad(acc, ((0, 0), (0, 128 - G))), None, None
+    acc = jnp.zeros((Prows + 8, g.shape[-1]), g.dtype).at[ids_bwd].add(
+        g, mode="promise_in_bounds")
+    return acc[:Prows], None, None
+
+
+_gather_redirect.defvjp(_gather_redirect_fwd, _gather_redirect_bwd)
 
 
 # ---- K-overflow continuation: resume compositing from a saved
@@ -1259,15 +1434,24 @@ def _composite_stream(packed128, stream_ids, starts, counts, tile_ids,
     """Stream compositor on per-splat packed rows + a stream-id prefix.
 
     The row gather sits OUTSIDE the kernel vjp: its autodiff transpose
-    is exactly the by-id gradient scatter-add the backward needs (the
-    rows-level vjp zeroes uncovered positions first, so padded/overflow
-    rows scatter zeros)."""
+    is exactly the by-id gradient scatter-add the backward needs.
+    Uncovered stream positions (uninitialized backward rows) are
+    handled by REDIRECTING their scatter targets to a trash row
+    (`_gather_redirect`) instead of a full [N+K, 128] zero-select
+    pass."""
     # pad the (small) id array, not the [*, 128] rows: window overshoot
+    N = stream_ids.shape[0]
     sids = jnp.pad(stream_ids, (0, K))
-    rows = jnp.take(packed128, sids, axis=0,
-                    mode="clip")                       # [cap + K, 128]
+    delta = jnp.zeros(N + K + 1, jnp.int32)
+    delta = delta.at[starts].add(1).at[starts + K].add(-1)
+    covered = (jnp.cumsum(delta)[:N + K] > 0) \
+        & (jnp.arange(N + K) < N)
+    sids_bwd = jnp.where(covered, sids, packed128.shape[0])
+    rows = _gather_redirect(packed128.shape[0], 6 + F, packed128, sids,
+                            sids_bwd)                  # [cap + K, 128]
     return _composite_stream_rows(rows, starts, counts, tile_ids,
-                                  grid, chunk, F, K, track)
+                                  grid, chunk, F, K, track,
+                                  zero_uncovered=False)
 
 
 def composite_pallas_from_data(

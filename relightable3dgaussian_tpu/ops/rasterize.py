@@ -58,11 +58,16 @@ class RasterizeConfig:
     # calibrated value each member's gather/DMA/scatter bytes shrink
     # ~tile_shards-fold; overflow → stats["dropped_stream_shard"].
     stream_cap_local: int | None = None
-    # Instance expansion: "dense" ([P, M] slot matrix) or "offset"
+    # Instance expansion: "dense" ([P, M] slot matrix), "split" (dense
+    # with M_small slots for everyone + full M for the split_p_big
+    # largest footprints — ~2x fewer sort keys when the footprint
+    # distribution is skewed, the usual case) or "offset"
     # (exclusive-scan over tiles_touched — instance-budget-bound; the
     # mode for heavy-tailed tile footprints where any M big enough to
     # be lossless makes [P, M] explode).  See `binning.bin_splats`.
     expansion: str = "dense"
+    split_m_small: int = 8
+    split_p_big: int = 8192
     # Lossless K-overflow continuation (stream/pallas, single-device):
     # the `overflow_tiles` deepest tiles get up to `overflow_rounds`
     # extra K-window compositing passes over their stream-segment
@@ -183,7 +188,8 @@ def rasterize(
         stream_cap=cfg.stream_cap
         if (stream or cfg.expansion == "offset") else None,
         expansion=cfg.expansion,
-        overflow_tiles=ov_tiles, overflow_rounds=cfg.overflow_rounds)
+        overflow_tiles=ov_tiles, overflow_rounds=cfg.overflow_rounds,
+        split_m_small=cfg.split_m_small, split_p_big=cfg.split_p_big)
     # Indices are integer routing decisions, never differentiated.
     bins = jax.tree.map(jax.lax.stop_gradient, bins)
 

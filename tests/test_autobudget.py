@@ -99,15 +99,22 @@ def test_headroom_and_recalibration_flag():
 
 
 def test_single_chunk_mode_for_pallas_backend():
-    """With the Pallas backend, derive() sets chunk = K (the kernels'
-    specialized straight-line path); the jnp twin keeps the caller's
-    chunk (its scan would materialize [T, chunk, 256] per step)."""
+    """With the Pallas backend, derive() sets chunk = 96 with K a
+    multiple of it (statically-unrolled chunks, composite_pallas.
+    UNROLL_MAX — measured faster than the old chunk=K single-chunk
+    specialization in r5); the jnp twin keeps the caller's chunk (its
+    scan would materialize [T, chunk, 256] per step)."""
     stats = ab.BudgetStats(max_tiles=18, max_per_tile=281,
                            num_instances=550_000)
     base = RasterizeConfig(width=800, height=800, chunk=96,
                            backend="pallas")
     cfg = ab.derive(base, stats, exact=True)
-    assert cfg.max_per_tile == 288 and cfg.chunk == 288
+    assert cfg.max_per_tile == 288 and cfg.chunk == 96
+    # small K still collapses to one chunk
+    stats_small = ab.BudgetStats(max_tiles=18, max_per_tile=60,
+                                 num_instances=50_000)
+    cfg_s = ab.derive(base, stats_small, exact=True)
+    assert cfg_s.chunk == cfg_s.max_per_tile == 64
 
     cfg_j = ab.derive(dataclasses.replace(base, backend="jnp"), stats,
                       exact=True)

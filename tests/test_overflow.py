@@ -197,3 +197,73 @@ def test_unroll_chunks_matches_while(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6,
                                    err_msg=f"unroll grad mismatch: {n}")
+
+
+def test_seg_reduce_matches_scatter(monkeypatch):
+    """The sorted-segment MXU gradient reduction (SEG_REDUCE) must match
+    the row-serial scatter transpose exactly on the stream path."""
+    proj, grid, feats = make_deep_proj(P=100, seed=9)
+    K = 32
+    bins = stream_bins(proj, grid, K)
+    tgt = jnp.asarray(np.random.default_rng(2).uniform(
+        0, 1, (grid[1] * 16, grid[0] * 16, 6)).astype(np.float32))
+
+    def loss(xy, conic, op, feats):
+        out = cpal.composite_pallas(bins, xy, conic, op, feats, grid,
+                                    chunk=16, max_per_tile=K)
+        return (jnp.sum((out.image - tgt) ** 2)
+                + jnp.sum(out.final_t ** 2) * 0.1)
+
+    args = (proj.xy, proj.conic, proj.opacity, feats)
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setattr(cpal, "SEG_REDUCE", False)
+        v0, g0 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(*args)
+        monkeypatch.setattr(cpal, "SEG_REDUCE", True)
+        v1, g1 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for n, a, b in zip(["xy", "conic", "opacity", "feats"], g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"seg-reduce grad mismatch: {n}")
+
+
+def test_split_expansion_matches_dense():
+    """expansion="split" must produce the identical instance multiset
+    (same per-tile counts, same rendered image) as plain dense when
+    split_p_big covers every footprint above M_small."""
+    proj, grid, feats = make_deep_proj(P=150, seed=11)
+    kw = dict(stream=True, stream_cap=8192)
+    b_d = binning.bin_splats(proj, grid, 64, 256, **kw)
+    b_s = binning.bin_splats(proj, grid, 64, 256, expansion="split",
+                             split_m_small=6, split_p_big=64, **kw)
+    assert int(b_s.dropped_rect) == 0
+    assert int(b_s.num_instances) == int(b_d.num_instances)
+    np.testing.assert_array_equal(np.asarray(b_s.counts),
+                                  np.asarray(b_d.counts))
+    with pltpu.force_tpu_interpret_mode():
+        out_d = cpal.composite_pallas(b_d, proj.xy, proj.conic,
+                                      proj.opacity, feats, grid,
+                                      chunk=32, max_per_tile=256)
+        out_s = cpal.composite_pallas(b_s, proj.xy, proj.conic,
+                                      proj.opacity, feats, grid,
+                                      chunk=32, max_per_tile=256)
+    np.testing.assert_allclose(np.asarray(out_s.image),
+                               np.asarray(out_d.image), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_autobudget_derives_split_expansion():
+    """A skewed footprint tail must flip derive() to the split
+    expansion with a covering P_big."""
+    stats = ab.BudgetStats(
+        max_tiles=20, max_per_tile=280, num_instances=550_000,
+        rect_slots=700_000, top_counts=(280, 270, 260),
+        tt_over=(60_000, 25_000, 9_000, 3_000, 500),
+        num_splats=100_000)
+    cfg = RasterizeConfig(width=800, height=800, chunk=96,
+                          backend="pallas")
+    out = ab.derive(cfg, stats, exact=True)
+    assert out.expansion == "split"
+    assert out.split_m_small in (4, 8, 12, 16)
+    assert out.split_p_big >= 1.5 * {4: 60_000, 8: 25_000, 12: 9_000,
+                                     16: 3_000}[out.split_m_small]

@@ -32,6 +32,13 @@ def main() -> None:
                     help="track_contrib=False")
     ap.add_argument("--stream-cap", type=int, default=None,
                     help="stream-prefix row budget (default T*K)")
+    ap.add_argument("--expansion", default="dense",
+                    choices=["dense", "offset", "split"],
+                    help="instance expansion mode (binning.bin_splats)")
+    ap.add_argument("--split-ms", type=int, default=8,
+                    help="split expansion: M_small")
+    ap.add_argument("--split-pb", type=int, default=8192,
+                    help="split expansion: P_big")
     ap.add_argument("--tb", type=int, default=None,
                     help="override composite_pallas.TB")
     ap.add_argument("--sweep", default=None,
@@ -44,6 +51,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--trace", default=None,
                     help="capture a jax.profiler trace to this dir")
+    ap.add_argument("--pbr", action="store_true",
+                    help="probe the flagship NeILF PBR step (render "
+                         "equation s=24 + 11-channel rasterize + full "
+                         "PBR loss) instead of the base step")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -86,37 +97,73 @@ def main() -> None:
     target = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
     loss_cfg = R.LossConfig(lambda_dssim=0.2)
 
+    if args.pbr:
+        from relightable3dgaussian_tpu.models import gaussians as G2
+        from relightable3dgaussian_tpu.models import lights as Lt
+        from relightable3dgaussian_tpu.models import neilf as NF
+        pstate = G2.create_from_points(
+            pts.astype(np.float32),
+            rng.uniform(0, 1, (P, 3)).astype(np.float32),
+            capacity=args.capacity, use_pbr=True,
+            init_scale=np.full(P, 0.012, np.float32))
+        env = Lt.create_direct_light(3)
+        gamma = Lt.create_gamma()
+        pkey = jax.random.PRNGKey(0)
+
     def run(m, k, chunk, tb, track, label=""):
         if tb is not None:
             cpal.TB = tb
         cfg = RasterizeConfig(
             width=W, height=H, max_tiles_per_gaussian=m, max_per_tile=k,
             chunk=chunk, track_contrib=track,
-            stream_cap=args.stream_cap)
+            stream_cap=args.stream_cap, expansion=args.expansion,
+            split_m_small=args.split_ms, split_p_big=args.split_pb)
 
-        @jax.jit
-        def fwd_bwd(params):
-            def loss_fn(p):
-                res = R.render_view(p, state.alive, ci, jnp.zeros(3),
-                                    cfg, active_sh_degree=3,
-                                    compute_pseudo_normal=False)
-                loss, _ = R.calculate_loss(res, {"image": target},
-                                           loss_cfg)
-                return loss
-            return jax.value_and_grad(loss_fn)(params)
+        if args.pbr:
+            ploss_cfg = R.LossConfig()
 
-        res0 = R.render_view(state.params, state.alive, ci, jnp.zeros(3),
-                             cfg, active_sh_degree=3,
-                             compute_pseudo_normal=False)
+            @jax.jit
+            def fwd_bwd(params):
+                def loss_fn(p, e, g):
+                    res = NF.render(
+                        p, pstate.alive, ci, jnp.zeros(3), cfg,
+                        env_light=e, gamma=g, use_ldr_image=True,
+                        sample_num=24, loss_cfg=ploss_cfg,
+                        gt={"image": target}, active_sh_degree=3,
+                        is_training=True, rng=pkey)
+                    return res["loss"]
+                return jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                    params, env, gamma)
+
+            run_params = pstate.params
+            res0 = R.render_view(pstate.params, pstate.alive, ci,
+                                 jnp.zeros(3), cfg, active_sh_degree=3,
+                                 compute_pseudo_normal=False)
+        else:
+            @jax.jit
+            def fwd_bwd(params):
+                def loss_fn(p):
+                    res = R.render_view(p, state.alive, ci, jnp.zeros(3),
+                                        cfg, active_sh_degree=3,
+                                        compute_pseudo_normal=False)
+                    loss, _ = R.calculate_loss(res, {"image": target},
+                                               loss_cfg)
+                    return loss
+                return jax.value_and_grad(loss_fn)(params)
+
+            run_params = state.params
+            res0 = R.render_view(state.params, state.alive, ci,
+                                 jnp.zeros(3), cfg, active_sh_degree=3,
+                                 compute_pseudo_normal=False)
         stats = {kk: int(v) for kk, v in res0["stats"].items()}
-        out = fwd_bwd(state.params)
+        out = fwd_bwd(run_params)
         jax.block_until_ready(out)
         meds = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             o = None
             for _ in range(args.steps):
-                o = fwd_bwd(state.params)
+                o = fwd_bwd(run_params)
             jax.block_until_ready(o)
             meds.append((time.perf_counter() - t0) / args.steps)
         dt = float(np.median(meds))
@@ -129,7 +176,7 @@ def main() -> None:
         if args.trace:
             with jax.profiler.trace(args.trace):
                 for _ in range(5):
-                    o = fwd_bwd(state.params)
+                    o = fwd_bwd(run_params)
                 jax.block_until_ready(o)
             print(f"trace -> {args.trace} (summarize with "
                   "tools/xplane_summary.py)", flush=True)
