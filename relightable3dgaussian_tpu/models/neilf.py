@@ -179,7 +179,13 @@ def calculate_loss(
 
     image = results["render"]
     ll1 = losses.l1(image, gt_image)
-    ssim_val = losses.ssim(image, gt_image)
+    if cfg.lambda_pbr > 0:
+        # one shared blur for both SSIMs (same gt moments; ~1 ms/step
+        # of the 800² PBR step vs two separate 15-channel passes)
+        ssim_val, ssim_p = losses.ssim_pair(image, results["pbr"],
+                                            gt_image)
+    else:
+        ssim_val = losses.ssim(image, gt_image)
     tb["l1"] = ll1
     tb["psnr"] = losses.psnr(image, gt_image)
     tb["ssim"] = ssim_val
@@ -188,7 +194,6 @@ def calculate_loss(
     if cfg.lambda_pbr > 0:
         pbr_img = results["pbr"]
         ll1_p = losses.l1(pbr_img, gt_image)
-        ssim_p = losses.ssim(pbr_img, gt_image)
         tb["l1_pbr"] = ll1_p
         tb["ssim_pbr"] = ssim_p
         tb["psnr_pbr"] = losses.psnr(pbr_img, gt_image)

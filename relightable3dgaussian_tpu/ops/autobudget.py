@@ -59,6 +59,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 SPLIT_THRESHOLDS = (4, 8, 12, 16, 24)
+AUTO_SPLIT = False  # see the negative-result note in derive()
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
@@ -244,15 +245,20 @@ def derive(
         # the stream prefix must hold the deep tiles' FULL segments
         cap = max(cap, min(_round_up(int(stats.num_instances * hc), 8192),
                            gx * gy * k * (1 + overflow_rounds)))
-    # Split expansion: when the measured footprint tail says most splats
-    # touch far fewer than M tiles, give everyone M_small slots and the
-    # top-footprint splats the full M — fewer sort keys (the instance
-    # sort was 3.0 ms/step on the [P, M] layout at 800²).  Pick the
-    # (M_small, P_big) minimizing the key count; keep plain dense when
-    # the saving is marginal.
+    # Split expansion (negative result, r5): halving the sort keys with
+    # M_small-for-everyone + full-M-for-the-top-footprints measured
+    # SLOWER on the 800² bench (pb=32768: 32.5 ms vs 27.3 dense;
+    # pb=16384: 29.0 ms AND lossy) — `top_k` over [P] at large k is
+    # itself sort-priced and the second expansion adds its own
+    # reshape/gather machinery.  The mode stays available
+    # (`expansion="split"`, exactness pinned by
+    # tests/test_overflow.py::test_split_expansion_matches_dense) but
+    # derive() never auto-picks it; AUTO_SPLIT re-enables the heuristic
+    # for experiments.
     expansion = "offset" if offset_mode else "dense"
     split_ms, split_pb = cfg.split_m_small, cfg.split_p_big
-    if not offset_mode and stats.tt_over and stats.num_splats and m > 8:
+    if (AUTO_SPLIT and not offset_mode and stats.tt_over
+            and stats.num_splats and m > 8):
         Pn = stats.num_splats
         best = None
         for ms, n_over in zip(SPLIT_THRESHOLDS, stats.tt_over):

@@ -329,6 +329,10 @@ def _rendering_equation_scan(
             "vis": vis,
         }
 
+    # NOT rematerialized (negative result, r5): jax.checkpoint on the
+    # sample body measured 43.4 vs 41.2 ms on the 800² PBR step — the
+    # recompute's VPU chains cost more than the stacked [S, P, *]
+    # residual HBM traffic they avoid at S=24.
     def body(carry, s):
         out = one_sample(s)
         return jax.tree.map(jnp.add, carry, out), None

@@ -111,7 +111,8 @@ UNROLL_MAX = 8
 # rows (D <= 32); wider features fall back to the scatter.
 # A/B: `tools/bench_probe.py --set composite_pallas.SEG_REDUCE=0`.
 SEG_REDUCE = True
-SEG_BLOCK = 256  # rows per reduction block (one MXU matmul each)
+SEG_BLOCK = 512  # rows per reduction block (one MXU matmul each;
+                 # sweep r5: 512 -> 27.3 ms, 256 -> 27.7, 128 -> 28.2)
 # Pin the lane pad of the stream source [P, 6+F] -> [P, 128] BEFORE the
 # row gather with an optimization_barrier.  Without it, XLA rewrites
 # gather(pad(src)) into pad(gather(src)) — sound, but the pad then runs

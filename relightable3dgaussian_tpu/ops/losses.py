@@ -99,6 +99,17 @@ def _sep_filter2d(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _ssim_from_stats(mu1, mu2, e11, e22, e12):
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = e11 - mu1_sq
+    s2 = e22 - mu2_sq
+    s12 = e12 - mu12
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    return jnp.mean(ssim_map)
+
+
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
          sigma: float = 1.5) -> jnp.ndarray:
     """Mean SSIM over an [H, W, C] pair (reference `loss_utils.py:31-62`).
@@ -113,16 +124,32 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     filt = _sep_filter2d_matmul if SSIM_MATMUL else _sep_filter2d
     blurred = filt(stack, k)
     C = img1.shape[-1]
-    mu1 = blurred[..., 0:C]
-    mu2 = blurred[..., C:2 * C]
-    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = blurred[..., 2 * C:3 * C] - mu1_sq
-    s2 = blurred[..., 3 * C:4 * C] - mu2_sq
-    s12 = blurred[..., 4 * C:5 * C] - mu12
-    c1, c2 = 0.01**2, 0.03**2
-    ssim_map = ((2 * mu12 + c1) * (2 * s12 + c2)) / (
-        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
-    return jnp.mean(ssim_map)
+    return _ssim_from_stats(blurred[..., 0:C], blurred[..., C:2 * C],
+                            blurred[..., 2 * C:3 * C],
+                            blurred[..., 3 * C:4 * C],
+                            blurred[..., 4 * C:5 * C])
+
+
+def ssim_pair(img_a: jnp.ndarray, img_b: jnp.ndarray, gt: jnp.ndarray,
+              window_size: int = 11, sigma: float = 1.5):
+    """(ssim(img_a, gt), ssim(img_b, gt)) with ONE shared blur pass.
+
+    The NeILF loss evaluates SSIM against the same gt for both the
+    radiance render and the PBR render (`neilf.py:203-352` twice);
+    stacking all eight statistics [a, b, gt, a², b², gt², a·gt, b·gt]
+    blurs 24 channels instead of 2 x 15 — the gt moments are shared and
+    both passes' fixed costs collapse into one."""
+    k = _gaussian_window(window_size, sigma)
+    stack = jnp.concatenate(
+        [img_a, img_b, gt, img_a * img_a, img_b * img_b, gt * gt,
+         img_a * gt, img_b * gt], axis=-1)
+    filt = _sep_filter2d_matmul if SSIM_MATMUL else _sep_filter2d
+    bl = filt(stack, k)
+    C = gt.shape[-1]
+    ch = [bl[..., i * C:(i + 1) * C] for i in range(8)]
+    mu_a, mu_b, mu_g, e_aa, e_bb, e_gg, e_ag, e_bg = ch
+    return (_ssim_from_stats(mu_a, mu_g, e_aa, e_gg, e_ag),
+            _ssim_from_stats(mu_b, mu_g, e_bb, e_gg, e_bg))
 
 
 # ---- row-partial losses (sharded pixel loss for the TP path) ----------

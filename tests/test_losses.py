@@ -158,3 +158,17 @@ def test_ssim_bounded_and_paths_agree():
     finally:
         losses.SSIM_MATMUL = old
     np.testing.assert_allclose(vm, vs, atol=2e-5)
+
+
+def test_ssim_pair_matches_two_calls():
+    import numpy as np
+    from relightable3dgaussian_tpu.ops import losses
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(0, 1, (40, 48, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (40, 48, 3)).astype(np.float32))
+    g = jnp.asarray(rng.uniform(0, 1, (40, 48, 3)).astype(np.float32))
+    sa, sb = losses.ssim_pair(a, b, g)
+    np.testing.assert_allclose(float(sa), float(losses.ssim(a, g)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(sb), float(losses.ssim(b, g)),
+                               rtol=1e-6)

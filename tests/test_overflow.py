@@ -252,9 +252,12 @@ def test_split_expansion_matches_dense():
                                rtol=1e-5)
 
 
-def test_autobudget_derives_split_expansion():
-    """A skewed footprint tail must flip derive() to the split
-    expansion with a covering P_big."""
+def test_autobudget_derives_split_expansion(monkeypatch):
+    """With the AUTO_SPLIT experiment flag on, a skewed footprint tail
+    flips derive() to the split expansion with a covering P_big (the
+    heuristic is default-off: measured slower than dense on the 800²
+    bench, see autobudget.derive)."""
+    monkeypatch.setattr(ab, "AUTO_SPLIT", True)
     stats = ab.BudgetStats(
         max_tiles=20, max_per_tile=280, num_instances=550_000,
         rect_slots=700_000, top_counts=(280, 270, 260),

@@ -190,6 +190,13 @@ def main() -> None:
                 if k.startswith("densify/") and int(v)}
         if dens:
             msg += f" densify{dens}"
+        # rasterizer losslessness: any nonzero overflow counter gets
+        # logged loudly (absence of 'DROPS' lines == dropped_* was zero
+        # at every logged step — the exactness bar VERDICT r4 item 2)
+        drops = {k.split("/", 1)[1]: int(v) for k, v in metrics.items()
+                 if k.startswith("binning/dropped") and int(v)}
+        if drops:
+            msg += f" DROPS{drops}"
         print(msg, flush=True)
         log.write(msg + "\n")
         log.flush()
