@@ -27,6 +27,13 @@ from .transforms import normalize as _safe_unit
 
 PI = 3.14159265358979
 
+# Feature-packed (transposed) render-equation scan: every per-splat
+# array runs as [C, P] with the LONG P axis on lanes, instead of the
+# natural [P, C] whose minor dims of 1/3 lane-pad 42-128x on the (8,128)
+# tiled layout.  Same math, same scan structure — only the layout moves.
+# A/B: `tools/bench_probe.py --pbr --set brdf.PACKED_SCAN=0`.
+PACKED_SCAN = True
+
 
 def fibonacci_sphere_dirs(sample_num: int, dtype=jnp.float32) -> jnp.ndarray:
     """[S, 3] unit dirs on the +z hemisphere spiral (reference
@@ -134,7 +141,9 @@ def rendering_equation(
              or incident_lights_precomp is not None
              or visibility_precomp is not None)
     if not dense:
-        return _rendering_equation_scan(
+        scan = (_rendering_equation_scan_packed if PACKED_SCAN
+                else _rendering_equation_scan)
+        return scan(
             base_color, roughness, metallic, normals, viewdirs,
             incidents, direct_shs, visibility_shs, sample_num, rng)
     if incident_dirs is None:
@@ -358,5 +367,187 @@ def _rendering_equation_scan(
         "mean_local_lights": sums["local"] * inv,
         "mean_global_lights": sums["glob"] * inv,
         "mean_visibility": sums["vis"] * inv,
+    }
+    return pbr, extras
+
+
+def _rendering_equation_scan_packed(
+    base_color: jnp.ndarray,
+    roughness: jnp.ndarray,
+    metallic: jnp.ndarray,
+    normals: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    incidents: jnp.ndarray,
+    direct_shs: jnp.ndarray | None,
+    visibility_shs: jnp.ndarray | None,
+    sample_num: int,
+    rng: jax.Array | None,
+) -> tuple[jnp.ndarray, dict[str, Any]]:
+    """`_rendering_equation_scan` in the feature-packed [C, P] layout
+    (see PACKED_SCAN): the sample body runs entirely on [P]-lane
+    vectors — the SH basis as a python list of K vectors
+    (`sh.eval_sh_basis_list`), the rotation as nine component vectors,
+    every dot product as component fmas — so nothing in the hot loop
+    carries a lane-padded minor dim.  Inputs are transposed once before
+    the scan and the accumulated outputs once after."""
+    P = normals.shape[0]
+    dt = normals.dtype
+    S = sample_num
+    eps = 1e-12
+
+    if visibility_shs is not None:
+        deg = int(round(visibility_shs.shape[1] ** 0.5)) - 1
+    else:
+        deg = 3
+    ki = incidents.shape[1]
+
+    # ---- one-time input transposes ----
+    nx, ny, nz = normals[:, 0], normals[:, 1], normals[:, 2]   # [P]
+    vx, vy, vz = viewdirs[:, 0], viewdirs[:, 1], viewdirs[:, 2]
+    baseT = base_color.T                                       # [3, P]
+    rough = roughness[:, 0]                                    # [P]
+    metal = metallic[:, 0]
+    incT = jnp.transpose(incidents, (1, 2, 0))                 # [Ki,3,P]
+    visT = (None if visibility_shs is None
+            else jnp.transpose(visibility_shs, (1, 2, 0)))     # [Kv,1,P]
+    dshs = (None if direct_shs is None
+            else direct_shs.reshape(-1, 3))                    # [Kd, 3]
+
+    # rotation_between_z(normals) as nine [P] component vectors
+    # (identical closed form + degenerate case, `sh.py:128-158`)
+    v1 = -ny
+    v2 = nx
+    cos_p_1 = jnp.maximum(nz + 1.0, 1e-7)
+    v11, v22, v12 = v1 * v1, v2 * v2, v1 * v2
+    dgn = nz + 1.0 <= 0.0
+    zero = jnp.zeros_like(nx)
+
+    def sel(reg, degen):
+        return jnp.where(dgn, degen, reg)
+
+    r00 = sel(1.0 - v22 / cos_p_1, -jnp.ones_like(nx))
+    r01 = sel(v12 / cos_p_1, zero)
+    r02 = sel(v2, zero)
+    r10 = sel(v12 / cos_p_1, zero)
+    r11 = sel(1.0 - v11 / cos_p_1, -jnp.ones_like(nx))
+    r12 = sel(-v1, zero)
+    r20 = sel(-v2, zero)
+    r21 = sel(v1, zero)
+    r22 = sel(1.0 - (v22 + v11) / cos_p_1, -jnp.ones_like(nx))
+
+    f_dT = (1.0 - metal)[None, :] * baseT / PI                 # [3, P]
+    f0T = 0.04 * (1.0 - metal)[None, :] + baseT * metal[None, :]
+    n_d_o = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)      # [P]
+    r2o = (1.0 + rough) ** 2 / 8.0
+    v_o = 0.5 / jnp.maximum(n_d_o * (1.0 - r2o) + r2o, 1e-7)
+    r2 = jnp.maximum(rough * rough, 1e-7)
+    d_amp = 1.0 / (r2 * PI)
+    d_sharp = 2.0 / r2
+
+    azim = None
+    if rng is not None:
+        azim = jax.random.uniform(rng, (P,), dt) * 2.0 * PI    # [P]
+
+    delta = PI * (3.0 - jnp.sqrt(jnp.asarray(5.0, dt)))
+
+    def one_sample(s):
+        sf = s.astype(dt)
+        z = 1.0 - 2.0 * sf / (2.0 * S - 1.0)
+        rad = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        theta = delta * sf
+        if azim is not None:
+            theta = theta + azim                               # [P]
+            ldx = jnp.sin(theta) * rad
+            ldy = jnp.cos(theta) * rad
+        else:
+            ldx = jnp.full((P,), jnp.sin(theta) * rad, dt)
+            ldy = jnp.full((P,), jnp.cos(theta) * rad, dt)
+        # d = R @ local_dir, then unit-normalize (transforms.normalize)
+        d0 = r00 * ldx + r01 * ldy + r02 * z
+        d1 = r10 * ldx + r11 * ldy + r12 * z
+        d2 = r20 * ldx + r21 * ldy + r22 * z
+        inv = 1.0 / jnp.sqrt(jnp.maximum(d0 * d0 + d1 * d1 + d2 * d2,
+                                         eps * eps))
+        d0, d1, d2 = d0 * inv, d1 * inv, d2 * inv
+
+        coef = sh_ops.eval_sh_basis_list(deg, d0, d1, d2)  # K x [P]
+
+        def sh_dot(shT, kmax, col):
+            acc = coef[0] * shT[0, col]
+            for kk in range(1, kmax):
+                acc = acc + coef[kk] * shT[kk, col]
+            return acc
+
+        local = [jnp.maximum(sh_dot(incT, ki, c), 0.0)
+                 for c in range(3)]                            # 3 x [P]
+        if dshs is not None:
+            kd = dshs.shape[0]
+            glob = [jnp.maximum(
+                sum(coef[kk] * dshs[kk, c] for kk in range(kd)) + 0.5,
+                0.0) for c in range(3)]
+        else:
+            glob = [zero, zero, zero]
+        if visT is not None:
+            kv = visT.shape[0]
+            vis = jnp.clip(sh_dot(visT, kv, 0) + 0.5, 0.0, 1.0)
+        else:
+            vis = jnp.ones_like(d0)
+        glob = [glob[c] * vis for c in range(3)]
+        light = [local[c] + glob[c] for c in range(3)]
+
+        hx, hy, hz = d0 + vx, d1 + vy, d2 + vz
+        hinv = 1.0 / jnp.sqrt(jnp.maximum(hx * hx + hy * hy + hz * hz,
+                                          eps * eps))
+        hx, hy, hz = hx * hinv, hy * hinv, hz * hinv
+        h_d_n = jnp.maximum(hx * nx + hy * ny + hz * nz, 0.0)
+        h_d_o = jnp.maximum(hx * vx + hy * vy + hz * vz, 0.0)
+        n_d_i = jnp.maximum(nx * d0 + ny * d1 + nz * d2, 0.0)
+
+        D = d_amp * jnp.exp(d_sharp * (h_d_n - 1.0))
+        fres = (1.0 - h_d_o) ** 5
+        V = (0.5 / jnp.maximum(n_d_i * (1.0 - r2o) + r2o, 1e-7)) * v_o
+        DV = D * V
+
+        tw = (2.0 * PI) * n_d_i                                # [P]
+        transport = jnp.stack([light[c] * tw for c in range(3)])
+        local_tr = jnp.stack([local[c] * tw for c in range(3)])
+        spec = jnp.stack(
+            [(f0T[c] + (1.0 - f0T[c]) * fres) * DV * transport[c]
+             for c in range(3)])
+        return {
+            "transport": transport,                            # [3, P]
+            "local_transport": local_tr,
+            "spec": spec,
+            "light": jnp.stack(light),
+            "local": jnp.stack(local),
+            "glob": jnp.stack(glob),
+            "vis": vis[None, :],                               # [1, P]
+        }
+
+    def body(carry, s):
+        out = one_sample(s)
+        return jax.tree.map(jnp.add, carry, out), None
+
+    init = jax.tree.map(
+        lambda a: jnp.zeros(a.shape, a.dtype),
+        jax.eval_shape(one_sample, jnp.int32(0)))
+    sums, _ = jax.lax.scan(
+        body, init, jnp.arange(S, dtype=jnp.int32))
+    inv = 1.0 / S
+    diffuse_light = (sums["transport"] * inv).T                # [P, 3]
+    local_diffuse_light = (sums["local_transport"] * inv).T
+    rgb_d = f_dT.T * diffuse_light
+    rgb_s = (sums["spec"] * inv).T
+    pbr = rgb_d + rgb_s
+    extras = {
+        "diffuse_light": diffuse_light,
+        "local_diffuse_light": local_diffuse_light,
+        "rgb_d": rgb_d,
+        "rgb_s": rgb_s,
+        "accum": jnp.mean(diffuse_light / PI + rgb_s, axis=-1),
+        "mean_incident_lights": (sums["light"] * inv).T,
+        "mean_local_lights": (sums["local"] * inv).T,
+        "mean_global_lights": (sums["glob"] * inv).T,
+        "mean_visibility": (sums["vis"] * inv).T,
     }
     return pbr, extras

@@ -56,9 +56,18 @@ def eval_sh_basis(deg: int, dirs: jnp.ndarray) -> jnp.ndarray:
       [..., (deg+1)**2] basis values; `eval_sh(deg, sh, d) ==
       sum(basis * sh, -1)`.
     """
+    return jnp.stack(
+        eval_sh_basis_list(deg, dirs[..., 0], dirs[..., 1],
+                           dirs[..., 2]), axis=-1)
+
+
+def eval_sh_basis_list(deg: int, x, y, z) -> list:
+    """The SH basis as a LIST of per-function arrays over component
+    vectors x/y/z (any matching shape).  Lets layout-sensitive callers
+    (the feature-packed render-equation scan works on [P]-lane vectors)
+    skip the [..., K] stack entirely."""
     assert 0 <= deg <= 4
-    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
-    out = [jnp.full(dirs.shape[:-1], C0, dirs.dtype)]
+    out = [jnp.full(x.shape, C0, x.dtype)]
     if deg > 0:
         out += [-C1 * y, C1 * z, -C1 * x]
     if deg > 1:
@@ -93,7 +102,7 @@ def eval_sh_basis(deg: int, dirs: jnp.ndarray) -> jnp.ndarray:
             C4[7] * xz * (xx - 3 * yy),
             C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
         ]
-    return jnp.stack(out, axis=-1)
+    return out
 
 
 def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:

@@ -230,3 +230,57 @@ def test_scan_path_gradients_match_dense():
     for a, b in zip(gs, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_packed_scan_matches_reference_scan():
+    """The feature-packed [C, P] scan must match the [P, C] scan (and
+    thus the dense path/reference twin) to fp tolerance — values and
+    gradients, with and without rng/global/visibility terms."""
+    import numpy as np
+    from relightable3dgaussian_tpu.ops import brdf
+    rng = np.random.default_rng(5)
+    P = 33
+    nrm = rng.normal(size=(P, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm[0] = [0, 0, -1.0]  # degenerate rotation case
+    args = dict(
+        base_color=jnp.asarray(rng.uniform(0, 1, (P, 3)).astype(np.float32)),
+        roughness=jnp.asarray(rng.uniform(0.1, 1, (P, 1)).astype(np.float32)),
+        metallic=jnp.asarray(rng.uniform(0, 1, (P, 1)).astype(np.float32)),
+        normals=jnp.asarray(nrm),
+        viewdirs=jnp.asarray(nrm[::-1].copy()),
+        incidents=jnp.asarray(
+            rng.normal(0, 0.3, (P, 16, 3)).astype(np.float32)),
+        direct_shs=jnp.asarray(
+            rng.normal(0, 0.3, (16, 3)).astype(np.float32)),
+        visibility_shs=jnp.asarray(
+            rng.normal(0, 0.3, (P, 16, 1)).astype(np.float32)),
+    )
+    for key in (None, jax.random.PRNGKey(3)):
+        pbr0, ex0 = brdf._rendering_equation_scan(
+            **args, sample_num=8, rng=key)
+        pbr1, ex1 = brdf._rendering_equation_scan_packed(
+            **args, sample_num=8, rng=key)
+        np.testing.assert_allclose(np.asarray(pbr1), np.asarray(pbr0),
+                                   rtol=2e-5, atol=2e-6)
+        for k in ex0:
+            np.testing.assert_allclose(
+                np.asarray(ex1[k]), np.asarray(ex0[k]), rtol=2e-5,
+                atol=2e-6, err_msg=f"extras mismatch: {k}")
+
+    def loss(fn, bc, inc, ro):
+        a = dict(args, base_color=bc, incidents=inc, roughness=ro)
+        pbr, ex = fn(**a, sample_num=8, rng=None)
+        return jnp.sum(pbr ** 2) + jnp.sum(ex["mean_visibility"])
+
+    g0 = jax.grad(lambda *a: loss(brdf._rendering_equation_scan, *a),
+                  argnums=(0, 1, 2))(
+        args["base_color"], args["incidents"], args["roughness"])
+    g1 = jax.grad(
+        lambda *a: loss(brdf._rendering_equation_scan_packed, *a),
+        argnums=(0, 1, 2))(
+        args["base_color"], args["incidents"], args["roughness"])
+    for n, a, b in zip(["base_color", "incidents", "roughness"], g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6,
+                                   err_msg=f"packed grad mismatch: {n}")

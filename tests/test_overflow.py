@@ -270,3 +270,46 @@ def test_autobudget_derives_split_expansion(monkeypatch):
     assert out.split_m_small in (4, 8, 12, 16)
     assert out.split_p_big >= 1.5 * {4: 60_000, 8: 25_000, 12: 9_000,
                                      16: 3_000}[out.split_m_small]
+
+
+def test_overflow_wide_features_matches_big_k():
+    """NeILF-width features (F=16 -> D=22, the 32-lane grad-group path)
+    through base + continuation passes — the stage-2 PBR x overflow
+    configuration the v3 rehearsal runs on hardware."""
+    proj, grid, feats6 = make_deep_proj(P=110, seed=13)
+    rng = np.random.default_rng(3)
+    feats = jnp.concatenate(
+        [feats6, jnp.asarray(rng.uniform(0, 1, (feats6.shape[0], 10))
+                             .astype(np.float32))], axis=-1)
+    K = 32
+    big = binning.bin_splats(proj, grid, 64, 512)
+    deep = int(jnp.max(big.counts))
+    assert deep > K
+    rounds = -(-(deep - K) // K)
+    bins = stream_bins(proj, grid, K, overflow_tiles=16,
+                       overflow_rounds=rounds)
+    assert int(bins.dropped_tile) == 0
+    tgt = jnp.asarray(np.random.default_rng(4).uniform(
+        0, 1, (grid[1] * 16, grid[0] * 16, 16)).astype(np.float32))
+
+    def loss_ref(xy, conic, op, f):
+        out = comp.composite(big, xy, conic, op, f, grid, chunk=64)
+        return jnp.sum((out.image - tgt) ** 2)
+
+    def loss_ov(xy, conic, op, f):
+        out = cpal.composite_pallas(bins, xy, conic, op, f, grid,
+                                    chunk=16, max_per_tile=K,
+                                    overflow_rounds=rounds)
+        return jnp.sum((out.image - tgt) ** 2)
+
+    args = (proj.xy, proj.conic, proj.opacity, feats)
+    v_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+        *args)
+    with pltpu.force_tpu_interpret_mode():
+        v_ov, g_ov = jax.value_and_grad(loss_ov, argnums=(0, 1, 2, 3))(
+            *args)
+    np.testing.assert_allclose(float(v_ov), float(v_ref), rtol=1e-5)
+    for n, a, b in zip(["xy", "conic", "opacity", "feats"], g_ov, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5,
+            err_msg=f"wide-feature overflow grad mismatch: {n}")
