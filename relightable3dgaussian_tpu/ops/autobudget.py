@@ -348,6 +348,16 @@ class BudgetController:
                                       **headroom)
         return c
 
+    def recalibrate(self, params, alive) -> "RasterizeConfig":
+        """Unconditional recalibration from the CURRENT splats — call
+        after a snapshot/PLY resume: the startup calibration saw the
+        init cloud, and an eval-only resume never runs the overflow-
+        triggered check() path (r5: a 237k-splat resumed eval rendered
+        with the 37.5k-cloud budgets and dropped ~60% of instances)."""
+        self.cfg = calibrate_from_params(params, alive, self.cameras,
+                                         self.cfg, **self.headroom)
+        return self.cfg
+
     def check(self, params, alive, stats: dict) -> bool:
         """Recalibrate if `stats` (a step's overflow counters) fired.
         Returns True when the config changed."""

@@ -30,9 +30,13 @@ PI = 3.14159265358979
 # Feature-packed (transposed) render-equation scan: every per-splat
 # array runs as [C, P] with the LONG P axis on lanes, instead of the
 # natural [P, C] whose minor dims of 1/3 lane-pad 42-128x on the (8,128)
-# tiled layout.  Same math, same scan structure — only the layout moves.
-# A/B: `tools/bench_probe.py --pbr --set brdf.PACKED_SCAN=0`.
-PACKED_SCAN = True
+# tiled layout.  Measured LOSER on v5e (r5, decisively: 70.9 vs
+# 41.7 ms PBR step at 800²): the body becomes ~100 separate [P]-vector
+# ops whose fusion/launch overhead dwarfs the lane-padding it saves —
+# XLA already fuses the [P, C] chains into few passes despite the pad.
+# Kept (value+grad parity pinned in test_brdf) as the A/B harness:
+# `tools/bench_probe.py --pbr --absweep brdf.PACKED_SCAN=1,0`.
+PACKED_SCAN = False
 
 
 def fibonacci_sphere_dirs(sample_num: int, dtype=jnp.float32) -> jnp.ndarray:

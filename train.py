@@ -248,6 +248,17 @@ def main() -> None:
                 tstate = ckpt.load_train_state(spath, tstate)
                 print(f"resumed TrainState (opt moments + step) at "
                       f"iteration {done} from {spath}", flush=True)
+                if budget is not None and done > 0:
+                    # the startup calibration saw the INIT cloud; the
+                    # resumed model's budgets can be far larger
+                    gs = tstate.gaussians
+                    raster_cfg = budget.recalibrate(gs.params, gs.alive)
+                    print(f"auto-budget (resumed): "
+                          f"M={raster_cfg.max_tiles_per_gaussian} "
+                          f"K={raster_cfg.max_per_tile} "
+                          f"cap={raster_cfg.stream_cap} "
+                          f"ov=({raster_cfg.overflow_rounds},"
+                          f"{raster_cfg.overflow_tiles})", flush=True)
         while done < args.iterations:
             n = min(args.save_interval, args.test_interval,
                     args.iterations - done)
@@ -279,14 +290,21 @@ def main() -> None:
         final_state = tstate.gaussians
         sh_deg_final = T.active_sh_degree(args.iterations, tcfg)
 
-        def render_eval(cam):
-            camera = {k: jnp.asarray(v)
-                      for k, v in cam.render_inputs().items()}
-            bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+        # jit over the camera dict: one compile for all test views
+        # (eager per-op dispatch of the full render DAG took tens of
+        # minutes at 237k splats x 4 continuation rounds)
+        @jax.jit
+        def _render_eval_jit(camera, bg):
             return R.render_view(
                 final_state.params, final_state.alive, camera, bg,
                 raster_cfg, active_sh_degree=sh_deg_final,
                 compute_pseudo_normal=False)
+
+        def render_eval(cam):
+            camera = {k: jnp.asarray(v)
+                      for k, v in cam.render_inputs().items()}
+            bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+            return _render_eval_jit(camera, bg)
         eval_key = "render"
     else:
         if args.finetune_visibility:
@@ -301,6 +319,15 @@ def main() -> None:
                 tstate = ckpt.load_train_state(spath, tstate)
                 print(f"resumed PBR TrainState at iteration {done} from "
                       f"{spath}", flush=True)
+                if budget is not None and done > 0:
+                    gs = tstate.gaussians
+                    raster_cfg = budget.recalibrate(gs.params, gs.alive)
+                    print(f"auto-budget (resumed): "
+                          f"M={raster_cfg.max_tiles_per_gaussian} "
+                          f"K={raster_cfg.max_per_tile} "
+                          f"cap={raster_cfg.stream_cap} "
+                          f"ov=({raster_cfg.overflow_rounds},"
+                          f"{raster_cfg.overflow_tiles})", flush=True)
         while done < args.iterations:
             n = min(args.save_interval, args.iterations - done)
             tstate = TN.train_pbr(
@@ -323,15 +350,19 @@ def main() -> None:
         final_state = tstate.gaussians
         env, gamma = tstate.env, tstate.gamma
 
-        def render_eval(cam):
-            camera = {k: jnp.asarray(v)
-                      for k, v in cam.render_inputs().items()}
-            bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+        @jax.jit
+        def _render_eval_jit(camera, bg):
             return NF.render_view(
                 final_state.params, final_state.alive, camera, bg,
                 raster_cfg, env_light=env, gamma=gamma,
                 use_ldr_image=args.use_ldr_image,
                 sample_num=args.sample_num, is_training=False)
+
+        def render_eval(cam):
+            camera = {k: jnp.asarray(v)
+                      for k, v in cam.render_inputs().items()}
+            bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
+            return _render_eval_jit(camera, bg)
         eval_key = "pbr"
 
     test_cams = scene.test_cameras or cams[:8]
